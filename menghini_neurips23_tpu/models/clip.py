@@ -1,0 +1,273 @@
+"""Flax CLIP: vision ViT + text transformer with staged (prompt-injectable) forwards.
+
+Replaces the pip `clip` package the reference builds on (reference
+models/clip_encoders.py imports `from clip import clip`).  This is *not* a
+torch translation: the towers expose staged methods so that learnable soft
+prompts can be spliced between embedding and transformer as plain array ops on
+jitted inputs:
+
+    vision_embed(images)             -> (B, 1+N, W) CLS+patch tokens, pos-embedded
+    vision_encode_tokens(tokens)     -> (B, E)      ln_pre -> transformer -> ln_post -> proj
+    text_embed_ids(ids)              -> (B, T, W)   raw token embeddings (no pos emb)
+    text_encode_embeddings(x, eot)   -> (B, E)      +pos -> causal transformer -> ln_final -> EOT @ proj
+
+CoOp textual prompting = text_embed_ids -> splice prefix at positions 1..L
+(reference models/clip_encoders.py:67) -> text_encode_embeddings.
+VPT visual prompting = vision_embed -> concat prefix between CLS and patches
+(reference models/clip_encoders.py:148-155) -> vision_encode_tokens.
+
+TPU notes: patchify is a reshape+matmul (MXU-friendly; no conv op), attention
+softmax and LayerNorm run in float32, everything else in `dtype` (bfloat16 on
+TPU).  All shapes are static; the 77-token context and fixed patch grid map
+directly onto MXU tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from menghini_neurips23_tpu.models.configs import CLIPArch
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with OpenAI-CLIP-compatible fused qkv parameters."""
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B, T, W = x.shape
+        H = self.heads
+        D = W // H
+        in_kernel = self.param(
+            "in_proj_kernel", nn.initializers.normal(W**-0.5), (W, 3 * W), jnp.float32
+        )
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * W,), jnp.float32)
+        x = x.astype(self.dtype)
+        qkv = x @ in_kernel.astype(self.dtype) + in_bias.astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        # fp32 logits + softmax for numerical parity headroom
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (D**-0.5)
+        if mask is not None:
+            logits = logits + mask
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
+        out = nn.Dense(W, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
+        return out
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
+        x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
+        y = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(
+            y.astype(self.dtype)
+        )
+        y = quick_gelu(y)
+        y = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(y)
+        return x + y
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, name=f"resblocks_{i}"
+            )(x, mask)
+        return x
+
+
+class VisionTower(nn.Module):
+    arch: CLIPArch
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        a = self.arch
+        scale = a.vision_width**-0.5
+        patch_dim = a.vision_patch_size * a.vision_patch_size * 3
+        self.conv1_kernel = self.param(
+            "conv1_kernel", nn.initializers.normal(scale), (patch_dim, a.vision_width), jnp.float32
+        )
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (a.vision_width,), jnp.float32
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (a.num_patches + 1, a.vision_width),
+            jnp.float32,
+        )
+        self.ln_pre = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.transformer = Transformer(
+            a.vision_width, a.vision_layers, a.vision_heads, self.dtype
+        )
+        self.ln_post = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.proj = self.param(
+            "proj",
+            nn.initializers.normal(a.vision_width**-0.5),
+            (a.vision_width, a.embed_dim),
+            jnp.float32,
+        )
+
+    def embed(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) float, CLIP-normalized -> (B, 1+N, width) tokens."""
+        a = self.arch
+        P = a.vision_patch_size
+        B, H, W, C = images.shape
+        gh, gw = H // P, W // P
+        x = images.astype(self.dtype)
+        # Patchify as reshape+matmul: equivalent to a stride-P conv but lowers
+        # straight to one MXU matmul with no im2col materialization.
+        x = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * C)
+        x = x @ self.conv1_kernel.astype(self.dtype)
+        cls = jnp.broadcast_to(
+            self.class_embedding.astype(self.dtype), (B, 1, a.vision_width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.positional_embedding.astype(self.dtype)
+        return x
+
+    def encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens: (B, S, width) -> (B, embed_dim). S may exceed 1+N (visual prompts)."""
+        x = self.ln_pre(tokens).astype(self.dtype)
+        x = self.transformer(x)
+        x = self.ln_post(x[:, 0, :]).astype(self.dtype)
+        return x @ self.proj.astype(self.dtype)
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.encode_tokens(self.embed(images))
+
+
+class TextTower(nn.Module):
+    arch: CLIPArch
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        a = self.arch
+        self.token_embedding = nn.Embed(
+            a.vocab_size,
+            a.transformer_width,
+            embedding_init=nn.initializers.normal(0.02),
+            param_dtype=jnp.float32,
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (a.context_length, a.transformer_width),
+            jnp.float32,
+        )
+        self.transformer = Transformer(
+            a.transformer_width, a.transformer_layers, a.transformer_heads, self.dtype
+        )
+        self.ln_final = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(a.transformer_width**-0.5),
+            (a.transformer_width, a.embed_dim),
+            jnp.float32,
+        )
+
+    def _causal_mask(self) -> jnp.ndarray:
+        T = self.arch.context_length
+        return jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
+
+    def embed_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, T) int token ids -> (B, T, width) embeddings, *without* pos emb."""
+        return self.token_embedding(ids)
+
+    def encode_embeddings(self, x: jnp.ndarray, eot_idx: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, width) token embeddings + (B,) EOT positions -> (B, embed_dim)."""
+        x = x.astype(self.dtype) + self.positional_embedding.astype(self.dtype)
+        x = self.transformer(x, self._causal_mask())
+        x = self.ln_final(x).astype(self.dtype)
+        x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0, :]
+        return x @ self.text_projection.astype(self.dtype)
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.encode_embeddings(self.embed_ids(ids), ids.argmax(axis=-1))
+
+
+class CLIP(nn.Module):
+    """Full CLIP with staged tower access for prompt injection."""
+
+    arch: CLIPArch
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.visual = VisionTower(self.arch, self.dtype)
+        self.text = TextTower(self.arch, self.dtype)
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(1.0 / 0.07), jnp.float32),
+            (),
+        )
+
+    # --- full-tower forwards -------------------------------------------------
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.visual(images)
+
+    def encode_text(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text(ids)
+
+    # --- staged forwards for prompt splicing ---------------------------------
+    def vision_embed(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.visual.embed(images)
+
+    def vision_encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.visual.encode_tokens(tokens)
+
+    def text_embed_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text.embed_ids(ids)
+
+    def text_encode_embeddings(self, x: jnp.ndarray, eot_idx: jnp.ndarray) -> jnp.ndarray:
+        return self.text.encode_embeddings(x, eot_idx)
+
+    def get_logit_scale(self) -> jnp.ndarray:
+        return jnp.exp(self.logit_scale)
+
+    def __call__(self, images: jnp.ndarray, ids: jnp.ndarray):
+        """(logits_per_image, logits_per_text), as in CLIP."""
+        img = self.encode_image(images)
+        txt = self.encode_text(ids)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale).astype(img.dtype)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def init_clip_params(arch: CLIPArch, seed: int = 0, dtype: Dtype = jnp.float32):
+    """Random-init CLIP parameters (used when no checkpoint is supplied)."""
+    model = CLIP(arch, dtype=dtype)
+    images = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)
+    ids = jnp.zeros((1, arch.context_length), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(seed), images, ids)
