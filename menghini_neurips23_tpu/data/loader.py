@@ -1,0 +1,125 @@
+"""Batched host->device image pipeline.
+
+Replaces the reference's torch DataLoader + per-image PIL transform
+(reference data/dataset.py:56-89 plus the batch-size-1 pseudolabel loop,
+utils/clip_pseudolabels.py:31-44) with:
+
+- a thread pool decoding/resizing to uint8 on the host,
+- fixed-size batches (last batch zero-padded, with a validity count) so every
+  jitted computation sees one static shape,
+- optional in-RAM uint8 caching for the small train/val splits that are
+  iterated for 150 epochs.
+
+Normalization happens on device (see transforms.normalize_images).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from menghini_neurips23_tpu.data.transforms import load_image
+
+
+class Batch(NamedTuple):
+    images: np.ndarray  # uint8 (B, R, R, 3), zero-padded to B
+    labels: np.ndarray  # int32 (B,), -1 where padded/unlabeled
+    index: np.ndarray  # int32 (B,) global sample indices, -1 where padded
+    count: int  # number of valid samples in this batch
+
+
+def _pad_to(arr: np.ndarray, size: int, fill=0) -> np.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    pad = [(0, size - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=fill)
+
+
+class ImageLoader:
+    """Loads/caches preprocessed uint8 images for a list of filepaths."""
+
+    def __init__(self, resolution: int, num_workers: int = 8):
+        self.resolution = resolution
+        self.num_workers = num_workers
+
+    def load_all(self, filepaths: Sequence[str]) -> np.ndarray:
+        """Decode all files into one uint8 (N, R, R, 3) array (thread pool)."""
+        out = np.empty((len(filepaths), self.resolution, self.resolution, 3), np.uint8)
+        if not filepaths:
+            return out
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for i, img in enumerate(
+                pool.map(lambda p: load_image(p, self.resolution), filepaths)
+            ):
+                out[i] = img
+        return out
+
+
+def iter_image_batches(
+    filepaths: Sequence[str],
+    batch_size: int,
+    resolution: int,
+    labels: Optional[Sequence[int]] = None,
+    shuffle: bool = False,
+    seed: int = 0,
+    cache: Optional[np.ndarray] = None,
+    num_workers: int = 8,
+    drop_remainder: bool = False,
+) -> Iterator[Batch]:
+    """Yield fixed-shape Batches; decodes with a double-buffered thread pool.
+
+    :param cache: optional uint8 (N, R, R, 3) of pre-decoded images aligned
+        with `filepaths`; when given no disk IO happens.
+    """
+    n = len(filepaths)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    labels_arr = (
+        np.asarray(labels, np.int32) if labels is not None else np.full(n, -1, np.int32)
+    )
+
+    def make_batch(idx: np.ndarray) -> Batch:
+        if cache is not None:
+            imgs = cache[idx]
+        else:
+            loader = ImageLoader(resolution, num_workers)
+            imgs = loader.load_all([filepaths[i] for i in idx])
+        count = len(idx)
+        return Batch(
+            images=_pad_to(imgs, batch_size),
+            labels=_pad_to(labels_arr[idx], batch_size, fill=-1),
+            index=_pad_to(idx.astype(np.int32), batch_size, fill=-1),
+            count=count,
+        )
+
+    steps: List[np.ndarray] = [
+        order[s : s + batch_size] for s in range(0, n, batch_size)
+    ]
+    if drop_remainder and steps and len(steps[-1]) < batch_size:
+        steps = steps[:-1]
+
+    if cache is not None:
+        for idx in steps:
+            yield make_batch(idx)
+        return
+
+    # double-buffer disk decode behind compute
+    with cf.ThreadPoolExecutor(1) as prefetcher:
+        future = prefetcher.submit(make_batch, steps[0]) if steps else None
+        for i in range(len(steps)):
+            batch = future.result()
+            future = (
+                prefetcher.submit(make_batch, steps[i + 1])
+                if i + 1 < len(steps)
+                else None
+            )
+            yield batch
+
+
+def num_batches(n: int, batch_size: int, drop_remainder: bool = False) -> int:
+    if drop_remainder:
+        return n // batch_size
+    return (n + batch_size - 1) // batch_size

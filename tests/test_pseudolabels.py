@@ -1,0 +1,114 @@
+"""Leaderboard parity: our engine vs an independent transcription of the
+reference algorithm's spec (utils/clip_pseudolabels.py:47-109), on random
+probability matrices."""
+
+import numpy as np
+import pytest
+
+from menghini_neurips23_tpu.pseudo import LABEL_ALL, leaderboard_top_k
+
+
+def spec_leaderboard(probs, paths, k, class_ids):
+    """Direct transcription of the documented reference behavior, used as an
+    oracle: per-class boards of (score, path); argmax class first; if the
+    board is full and the last entry beats the score, cascade to remaining
+    classes by descending confidence; boards below k append un-sorted."""
+    boards = {cid: [] for cid in class_ids}
+    for i, path in enumerate(paths):
+        row = probs[i]
+        pred_col = int(row.argmax())
+        pred = class_ids[pred_col]
+        score = float(row[pred_col])
+        if len(boards[pred]) < k:
+            boards[pred].append((score, path))
+        elif boards[pred][-1][0] < score:
+            boards[pred] = sorted(boards[pred] + [(score, path)], reverse=True)[:k]
+        else:
+            order = sorted(
+                [(float(row[j]), j) for j in range(len(class_ids)) if j != pred_col],
+                reverse=True,
+            )
+            for s, j in order:
+                cid = class_ids[j]
+                if len(boards[cid]) < k:
+                    boards[cid].append((s, path))
+                elif boards[cid][-1][0] < s:
+                    boards[cid] = sorted(boards[cid] + [(s, path)], reverse=True)[:k]
+    imgs, labs = [], []
+    for cid, b in boards.items():
+        imgs += [t[1] for t in b]
+        labs += [cid] * len(b)
+    return imgs, labs
+
+
+@pytest.mark.parametrize("n,c,k,seed", [(50, 4, 3, 0), (200, 7, 16, 1), (30, 3, 50, 2)])
+def test_leaderboard_matches_spec(n, c, k, seed):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    paths = [f"img_{i:04d}.jpg" for i in range(n)]
+    class_ids = [10 + i for i in range(c)]  # non-contiguous global ids
+    got = leaderboard_top_k(probs, paths, k, class_ids)
+    want = spec_leaderboard(probs, paths, k, class_ids)
+    assert got == want
+
+
+def test_leaderboard_label_all():
+    rng = np.random.default_rng(0)
+    probs = rng.random((10, 3)).astype(np.float32)
+    paths = [f"p{i}" for i in range(10)]
+    imgs, labs = leaderboard_top_k(probs, paths, LABEL_ALL, [5, 6, 7])
+    assert imgs == paths
+    assert labs == [[5, 6, 7][j] for j in probs.argmax(1)]
+
+
+def test_leaderboard_k_bounds():
+    """Every class board holds at most k items and items are unique paths."""
+    rng = np.random.default_rng(3)
+    probs = rng.random((500, 5)).astype(np.float32)
+    probs /= probs.sum(1, keepdims=True)
+    paths = [f"p{i}" for i in range(500)]
+    imgs, labs = leaderboard_top_k(probs, paths, 7, list(range(5)))
+    for cid in range(5):
+        assert labs.count(cid) <= 7
+    # one image may appear on several class boards (cascade) but not twice
+    # on the same board
+    pairs = list(zip(imgs, labs))
+    assert len(pairs) == len(set(pairs))
+
+
+def test_cache_roundtrip(tmp_path):
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.pseudo import pseudolabel_top_k
+
+    class DS:
+        filepaths = [f"a_{i}.jpg" for i in range(20)]
+        labels = None
+        label_id = False
+
+    cfg = Config(
+        DATASET_NAME="EuroSAT",
+        VIS_ENCODER="ViT-B/32",
+        LEARNING_PARADIGM="ssl",
+        MODEL="textual_fpl",
+        SPLIT_SEED=500,
+        ARTIFACT_DIR=str(tmp_path),
+    )
+    rng = np.random.default_rng(0)
+    probs = rng.random((20, 2)).astype(np.float32)
+    calls = []
+
+    def probs_fn():
+        calls.append(1)
+        return probs
+
+    label_to_idx = {"river": 0, "forest": 1}
+    ds = DS()
+    pseudolabel_top_k(cfg, "EuroSAT", 4, ds, ["river", "forest"], label_to_idx, probs_fn)
+    assert len(calls) == 1
+    first = (list(ds.filepaths), list(ds.labels))
+    ds2 = DS()
+    ds2.filepaths = [f"a_{i}.jpg" for i in range(20)]
+    pseudolabel_top_k(cfg, "EuroSAT", 4, ds2, ["river", "forest"], label_to_idx, probs_fn)
+    assert len(calls) == 1  # cache hit, no recompute
+    assert (list(ds2.filepaths), list(ds2.labels)) == first
