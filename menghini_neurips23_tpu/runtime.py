@@ -1,0 +1,136 @@
+"""ClipRuntime: frozen CLIP + mesh + jitted batched tower passes.
+
+The runtime owns everything the training strategies share: the frozen CLIP
+parameters (replicated or TP-sharded over the mesh), the tokenizer, and
+jit-compiled batched functions for the frozen-tower passes.  It replaces the
+reference's `clip.load` + per-strategy `self.clip_model` usage.
+
+All batched passes take uint8 images (normalization fuses into the first
+matmul on device) and are sharded on the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from menghini_neurips23_tpu.config import Config
+from menghini_neurips23_tpu.data.loader import iter_image_batches
+from menghini_neurips23_tpu.data.transforms import normalize_images
+from menghini_neurips23_tpu.models import CLIP, get_arch, init_clip_params, load_clip
+from menghini_neurips23_tpu.parallel import (
+    clip_param_sharding,
+    data_parallelism,
+    data_sharding,
+    mesh_from_config,
+    pad_to_multiple,
+)
+
+log = logging.getLogger(__name__)
+
+
+class ClipRuntime:
+    """Frozen CLIP + mesh + jitted batched ops shared by all strategies."""
+
+    def __init__(self, cfg: Config, mesh=None, tokenizer=None):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        self.compute_dtype = dtype
+        if cfg.CLIP_CKPT:
+            arch, model, params = load_clip(cfg.CLIP_CKPT)
+            self.model = CLIP(arch, dtype=dtype)
+            self.params = params
+            self.arch = arch
+        else:
+            arch = get_arch(cfg.VIS_ENCODER)
+            self.arch = arch
+            self.model, self.params = init_clip_params(arch, seed=0, dtype=dtype)
+            self.model = CLIP(arch, dtype=dtype)
+            if arch.name != "tiny-test":
+                log.warning(
+                    "No CLIP_CKPT given - using RANDOM %s weights (throughput "
+                    "benchmarking only; supply a converted checkpoint for accuracy)",
+                    arch.name,
+                )
+        self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
+        self.params = jax.device_put(
+            self.params, clip_param_sharding(self.mesh, self.params)
+        )
+        if tokenizer is None:
+            from menghini_neurips23_tpu.tokenizer import get_tokenizer
+
+            tokenizer = get_tokenizer(cfg.BPE_PATH or None)
+        self.tokenizer = tokenizer
+        self._dp = data_parallelism(self.mesh)
+        self._dsh = data_sharding(self.mesh)
+
+    # ------------------------------------------------------------------ jitted
+    @functools.cached_property
+    def _encode_images(self):
+        def fn(params, images_u8):
+            x = normalize_images(images_u8, self.compute_dtype)
+            return self.model.apply(params, x, method="encode_image")
+
+        return jax.jit(fn, out_shardings=self._dsh)
+
+    @functools.cached_property
+    def _vision_embed(self):
+        def fn(params, images_u8):
+            x = normalize_images(images_u8, self.compute_dtype)
+            return self.model.apply(params, x, method="vision_embed")
+
+        return jax.jit(fn, out_shardings=self._dsh)
+
+    @functools.cached_property
+    def _encode_text(self):
+        def fn(params, ids):
+            return self.model.apply(params, ids, method="encode_text")
+
+        return jax.jit(fn)
+
+    @property
+    def logit_scale(self) -> float:
+        return float(np.exp(self.params["params"]["logit_scale"]))
+
+    # ------------------------------------------------------------- host-facing
+    def encode_text(self, ids: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """(C, 77) ids -> (C, E) fp32 features."""
+        feats = np.array(self._encode_text(self.params, jnp.asarray(ids)), np.float32)
+        if normalize:
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def _batched_pass(self, fn, filepaths, batch_size: Optional[int] = None, cache=None):
+        """Run a jitted per-batch image fn over a file list; returns stacked np."""
+        bs = batch_size or max(self.cfg.BATCH_SIZE, 32)
+        bs = int(np.ceil(bs / self._dp) * self._dp)  # shardable batch
+        outs = []
+        for batch in iter_image_batches(
+            filepaths, bs, self.arch.image_resolution, cache=cache
+        ):
+            imgs = jax.device_put(batch.images, self._dsh)
+            out = np.asarray(fn(self.params, imgs), np.float32)
+            outs.append(out[: batch.count])
+        return np.concatenate(outs, axis=0) if outs else np.empty((0,))
+
+    def encode_images_from_files(
+        self, filepaths: Sequence[str], normalize: bool = True, batch_size=None, cache=None
+    ) -> np.ndarray:
+        """Frozen image features for a file list: (N, E) fp32."""
+        feats = self._batched_pass(self._encode_images, filepaths, batch_size, cache)
+        if normalize and len(feats):
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def vision_tokens_from_files(
+        self, filepaths: Sequence[str], batch_size=None, cache=None
+    ) -> np.ndarray:
+        """Pos-embedded CLS+patch tokens (N, 1+P, W) fp32 - the frozen,
+        prompt-independent prefix of the vision tower, cached once for VPT/UPT
+        training instead of recomputed every batch."""
+        return self._batched_pass(self._vision_embed, filepaths, batch_size, cache)

@@ -1,0 +1,181 @@
+"""Multimodal prompt tuning (UPT) - reference methods/*/multimodal_prompt.py
+and multimodal_fpl.py, all three paradigms.
+
+Trainable pytree: coop prompts + vpt prompts + the 1-layer mixer transformer
+with its four projections (reference models/prompts_models.py:99-119).  Both
+prompted towers run per step (the prompts feed both), but the vision tower's
+patchify+pos stage is cached per image like VPT, and the text tower runs only
+over C class prompts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from menghini_neurips23_tpu.models.prompts import (
+    UPTMixer,
+    build_prompt_token_ids,
+    coop_text_features,
+    init_upt_params,
+    vision_tokens_with_prefix,
+)
+from menghini_neurips23_tpu.parallel import put_batch
+from menghini_neurips23_tpu.training.losses import two_group_loss
+from menghini_neurips23_tpu.training.strategy import TrainingStrategy
+
+
+class MultimodalStrategy(TrainingStrategy):
+    MODALITY = "multi"
+
+    def initialize_prompts_parameters(self):
+        cfg = self.config
+        arch = self.runtime.arch
+        self._reinit = getattr(self, "_reinit", -1) + 1
+        key = jax.random.PRNGKey(cfg.OPTIM_SEED * 1000 + self._reinit)
+        self.mixer = UPTMixer(
+            arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM
+        )
+        self.upt_params = init_upt_params(key, cfg, arch)
+        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)
+
+    def _init_opt_state(self):
+        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)
+
+    # ------------------------------------------------------------ features
+    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
+        missing = [p for p in paths if p not in self._feat_cache]
+        if missing:
+            toks = self.runtime.vision_tokens_from_files(missing)
+            for p, t in zip(missing, toks):
+                self._feat_cache[p] = t
+        return np.stack([self._feat_cache[p] for p in paths]) if paths else np.empty((0,))
+
+    def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
+        return build_prompt_token_ids(
+            self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
+        )
+
+    # ---------------------------------------------------------------- step
+    def _make_step(self, n_classes: int):
+        model = self.runtime.model
+        mixer = self.mixer
+        wd = self.config.DECAY
+        momentum = self.config.MOMENTUM
+
+        @jax.jit
+        def step(clip_params, upt_params, mom, lr, token_ids, tokens, labels, group, valid, w0, w1):
+            scale = jnp.exp(clip_params["params"]["logit_scale"])
+
+            def loss_fn(upt_params):
+                coop_o, vpt_o = mixer.apply(
+                    upt_params["mixer"], upt_params["coop"], upt_params["vpt"]
+                )
+                tf = coop_text_features(model, clip_params, coop_o, token_ids)
+                tf = tf.astype(jnp.float32)
+                tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+                x = vision_tokens_with_prefix(tokens, vpt_o)
+                img = model.apply(clip_params, x, method="vision_encode_tokens")
+                img = img.astype(jnp.float32)
+                img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+                logits = scale * img @ tf.T
+                return two_group_loss(logits, labels, group, valid, w0, w1), logits
+
+            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(upt_params)
+            g = jax.tree.map(lambda gg, p: gg + wd * p, g, upt_params)
+            mom_new = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g)
+            new_params = jax.tree.map(lambda p, m: p - lr * m, upt_params, mom_new)
+            correct = ((logits.argmax(1) == labels) * valid).sum()
+            return new_params, mom_new, loss, correct
+
+        return step
+
+    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
+        self.upt_params, self._mom, loss, correct = step(
+            self.runtime.params,
+            self.upt_params,
+            self._mom,
+            jnp.float32(lr),
+            jnp.asarray(class_ctx),
+            *put_batch(
+                self.runtime.mesh,
+                np.asarray(feats),
+                np.asarray(labels),
+                np.asarray(group),
+                np.asarray(valid),
+            ),
+            jnp.float32(self._w0),
+            jnp.float32(self._w1),
+        )
+        return float(loss), float(correct)
+
+    # ----------------------------------------------------------- inference
+    @functools.cached_property
+    def _feats_fn(self):
+        model = self.runtime.model
+        mixer = self.mixer
+
+        @jax.jit
+        def fn(clip_params, upt_params, token_ids, tokens):
+            coop_o, vpt_o = mixer.apply(
+                upt_params["mixer"], upt_params["coop"], upt_params["vpt"]
+            )
+            tf = coop_text_features(model, clip_params, coop_o, token_ids)
+            tf = tf.astype(jnp.float32)
+            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+            x = vision_tokens_with_prefix(tokens, vpt_o)
+            img = model.apply(clip_params, x, method="vision_encode_tokens")
+            img = img.astype(jnp.float32)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            return tf, img
+
+        return fn
+
+    def _predict_logits(self, paths, class_list, batch: int = 256):
+        ids = jnp.asarray(self._train_text_class_ids(class_list))
+        out = []
+        for s in range(0, len(paths), batch):
+            toks = self._features_for_paths(paths[s : s + batch])
+            tf, img = self._feats_fn(
+                self.runtime.params, self.upt_params, ids, jnp.asarray(toks)
+            )
+            out.append(self.runtime.logit_scale * np.asarray(img) @ np.asarray(tf).T)
+        return np.concatenate(out) if out else np.empty((0, len(class_list)))
+
+    # ------------------------------------------------------------- persist
+    def epoch_parameters(self):
+        """Reference 8-artifact order (utils/compute_metrics.py:119-143):
+        [transformer, proj_coop_pre, proj_coop_post, proj_vpt_pre,
+         proj_vpt_post, coop_embeddings, deep_vpt, vpt_embeddings]."""
+        m = jax.tree.map(np.asarray, self.upt_params["mixer"]["params"])
+        return [
+            m["transformer"],
+            m["proj_coop_pre"],
+            m["proj_coop_post"],
+            m["proj_vpt_pre"],
+            m["proj_vpt_post"],
+            np.asarray(self.upt_params["coop"]),
+            None,  # deep VPT unused (reference dead branch, prompts_models.py:133-135)
+            np.asarray(self.upt_params["vpt"]),
+        ]
+
+    def load_parameters(self, params):
+        mixer_params = {
+            "params": {
+                "transformer": params[0],
+                "proj_coop_pre": params[1],
+                "proj_coop_post": params[2],
+                "proj_vpt_pre": params[3],
+                "proj_vpt_post": params[4],
+            }
+        }
+        self.upt_params = {
+            "coop": jnp.asarray(params[5]),
+            "vpt": jnp.asarray(params[7]),
+            "mixer": jax.tree.map(jnp.asarray, mixer_params),
+        }
+        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)

@@ -1,0 +1,150 @@
+"""Visual prompt tuning (VPT) - reference methods/*/visual_prompt.py and
+visual_fpl.py, all three paradigms.
+
+TPU design: text features are frozen (template prompts through the frozen
+text tower) and computed ONCE per class list (the reference recomputes them
+every epoch, visual_prompt.py:111-118); the patchify+pos-embed stage of the
+vision tower is prompt-independent and cached per image, so each train step
+runs only ln_pre -> transformer -> head over (B, 1+L+N, width) with grads to
+the (L, width) prefix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from menghini_neurips23_tpu.data.templates import format_prompt
+from menghini_neurips23_tpu.models.prompts import init_prefix, vision_tokens_with_prefix
+from menghini_neurips23_tpu.parallel import put_batch
+from menghini_neurips23_tpu.training.losses import two_group_loss
+from menghini_neurips23_tpu.training.strategy import TrainingStrategy
+
+
+class VisualStrategy(TrainingStrategy):
+    MODALITY = "image"
+
+    def initialize_prompts_parameters(self):
+        cfg = self.config
+        arch = self.runtime.arch
+        self._reinit = getattr(self, "_reinit", -1) + 1
+        key = jax.random.PRNGKey(cfg.OPTIM_SEED * 1000 + self._reinit)
+        self.prefix = init_prefix(
+            key, cfg.PREFIX_SIZE, arch.vision_width,
+            cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
+        )
+        self._mom = jnp.zeros_like(self.prefix)
+        self._text_feat_cache = {}
+
+    def _init_opt_state(self):
+        self._mom = jnp.zeros_like(self.prefix)
+
+    # ------------------------------------------------------------ features
+    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
+        """Cached pos-embedded CLS+patch tokens (N, 1+P, width)."""
+        missing = [p for p in paths if p not in self._feat_cache]
+        if missing:
+            toks = self.runtime.vision_tokens_from_files(missing)
+            for p, t in zip(missing, toks):
+                self._feat_cache[p] = t
+        return np.stack([self._feat_cache[p] for p in paths]) if paths else np.empty((0,))
+
+    def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
+        """Frozen normalized text features for template prompts (reference
+        visual_prompt.py:53-63 define_textual_prompts + encode_text)."""
+        key = tuple(class_list)
+        if key not in self._text_feat_cache:
+            self._text_feat_cache[key] = self._zero_shot_text_features(class_list)
+        return self._text_feat_cache[key]
+
+    # ---------------------------------------------------------------- step
+    def _make_step(self, n_classes: int):
+        model = self.runtime.model
+        wd = self.config.DECAY
+        momentum = self.config.MOMENTUM
+
+        @jax.jit
+        def step(clip_params, prefix, mom, lr, text_feats, tokens, labels, group, valid, w0, w1):
+            scale = jnp.exp(clip_params["params"]["logit_scale"])
+
+            def loss_fn(prefix):
+                x = vision_tokens_with_prefix(tokens, prefix)
+                img = model.apply(clip_params, x, method="vision_encode_tokens")
+                img = img.astype(jnp.float32)
+                img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+                logits = scale * img @ text_feats.T
+                return two_group_loss(logits, labels, group, valid, w0, w1), logits
+
+            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prefix)
+            g = g + wd * prefix
+            mom_new = momentum * mom + g
+            new_prefix = prefix - lr * mom_new
+            correct = ((logits.argmax(1) == labels) * valid).sum()
+            return new_prefix, mom_new, loss, correct
+
+        return step
+
+    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
+        self.prefix, self._mom, loss, correct = step(
+            self.runtime.params,
+            self.prefix,
+            self._mom,
+            jnp.float32(lr),
+            jnp.asarray(class_ctx),
+            *put_batch(
+                self.runtime.mesh,
+                np.asarray(feats),
+                np.asarray(labels),
+                np.asarray(group),
+                np.asarray(valid),
+            ),
+            jnp.float32(self._w0),
+            jnp.float32(self._w1),
+        )
+        return float(loss), float(correct)
+
+    # ----------------------------------------------------------- inference
+    @functools.cached_property
+    def _image_feats_fn(self):
+        model = self.runtime.model
+
+        @jax.jit
+        def fn(clip_params, prefix, tokens):
+            x = vision_tokens_with_prefix(tokens, prefix)
+            img = model.apply(clip_params, x, method="vision_encode_tokens")
+            img = img.astype(jnp.float32)
+            return img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+
+        return fn
+
+    def image_features(self, paths: Sequence[str], batch: int = 256) -> np.ndarray:
+        """Prompted, normalized image features for a file list."""
+        out = []
+        for s in range(0, len(paths), batch):
+            toks = self._features_for_paths(paths[s : s + batch])
+            out.append(
+                np.asarray(
+                    self._image_feats_fn(
+                        self.runtime.params, self.prefix, jnp.asarray(toks)
+                    ),
+                    np.float32,
+                )
+            )
+        return np.concatenate(out) if out else np.empty((0,))
+
+    def _predict_logits(self, paths, class_list):
+        tf = self._train_text_class_ids(class_list)  # frozen text features
+        img = self.image_features(paths)
+        return self.runtime.logit_scale * img @ tf.T
+
+    # ------------------------------------------------------------- persist
+    def epoch_parameters(self):
+        return [np.asarray(self.prefix)]
+
+    def load_parameters(self, params):
+        self.prefix = jnp.asarray(params[0])
+        self._mom = jnp.zeros_like(self.prefix)

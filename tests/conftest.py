@@ -43,3 +43,44 @@ def tiny_clip():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def make_mnist_fixture(root, n_per_class=6, classes=("0", "1", "2"), size=32):
+    """Synthetic MNIST-layout dataset: root/{train,test}/{class}/imgN.png with
+    ELEVATER-style index files, class-colored so a model can separate them."""
+    from PIL import Image
+
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "labels.txt").write_text("\n".join(classes) + "\n")
+    train_lines, test_lines = [], []
+    rng = np.random.default_rng(0)
+    for ci, c in enumerate(classes):
+        for split, lines in (("train", train_lines), ("test", test_lines)):
+            d = root / split / c
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n_per_class):
+                name = f"{c}/img{i}.png"
+                base = np.zeros((size, size, 3), np.uint8)
+                base[..., ci % 3] = 180 + (ci // 3) * 40
+                noise = rng.integers(0, 40, (size, size, 3)).astype(np.uint8)
+                Image.fromarray(base + noise).save(root / split / name)
+                lines.append(f"{name} {ci}")
+    (root / "train.txt").write_text("\n".join(train_lines) + "\n")
+    (root / "test.txt").write_text("\n".join(test_lines) + "\n")
+    return root, list(classes)
+
+
+@pytest.fixture(scope="session")
+def mnist_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data") / "MNIST"
+    return make_mnist_fixture(root)
+
+
+@pytest.fixture(scope="session")
+def tiny_runtime():
+    """Session-scoped ClipRuntime on the tiny arch over the 8-device mesh."""
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.runtime import ClipRuntime
+
+    cfg = Config(VIS_ENCODER="tiny-test", BATCH_SIZE=8)
+    return ClipRuntime(cfg)
