@@ -1,0 +1,149 @@
+"""Shared driver plumbing for the four paradigm workflows.
+
+Mirrors the reference entry points' arg/env handling (reference
+main_SSL.py:430-505) and the MODEL-name dispatch tables
+(main_SSL.py:203-396, main_UL.py:168-310, main_TRZSL.py:170-355).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from pathlib import Path
+
+import numpy as np
+
+from menghini_neurips23_tpu.config import Config
+from menghini_neurips23_tpu.data import DATASET_CUSTOM_PROMPTS
+from menghini_neurips23_tpu.evaluation import (
+    evaluate_predictions,
+    save_parameters,
+    save_predictions,
+    store_results,
+)
+from menghini_neurips23_tpu.training import MODALITY_STRATEGIES
+from menghini_neurips23_tpu.utils import setup_logging
+
+log = logging.getLogger(__name__)
+
+# MODEL name -> (modality, training method)
+MODEL_DISPATCH = {
+    "textual_prompt": ("text", "train"),
+    "visual_prompt": ("image", "train"),
+    "multimodal_prompt": ("multi", "train"),
+    "textual_fpl": ("text", "train_fpl"),
+    "visual_fpl": ("image", "train_fpl"),
+    "multimodal_fpl": ("multi", "train_fpl"),
+    "iterative_textual_fpl": ("text", "fixed_iterative_train"),
+    "iterative_visual_fpl": ("image", "fixed_iterative_train"),
+    "iterative_multimodal_fpl": ("multi", "fixed_iterative_train"),
+    "grip_textual": ("text", "grip_train"),
+    "grip_visual": ("image", "grip_train"),
+    "grip_multimodal": ("multi", "grip_train"),
+}
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Run CLIP prompt-tuning task")
+    parser.add_argument(
+        "--model_config", type=str, default="model_config.yml",
+        help="Name of model config file (under methods_config/ or an absolute path)",
+    )
+    parser.add_argument(
+        "--learning_paradigm", type=str, default="trzsl",
+        help="Choose among trzsl, ssl, and ul",
+    )
+    return parser.parse_args(argv)
+
+
+def load_config(args, env=None) -> Config:
+    path = args.model_config
+    if not Path(path).exists():
+        path = f"methods_config/{args.model_config}"
+    if not Path(path).exists():
+        # fall back to this repo's bundled configs
+        path = str(Path(__file__).resolve().parents[2] / "configs" / args.model_config)
+    cfg = Config.from_yaml(path, env=env, LEARNING_PARADIGM=args.learning_paradigm)
+    cfg.PROMPT_TEMPLATE = DATASET_CUSTOM_PROMPTS.get(
+        cfg.DATASET_NAME, "a photo of a {}"
+    )
+    return cfg
+
+
+def seed_everything(cfg: Config):
+    """Host RNG seeding (reference main_SSL.py:491-503).  Device RNG is
+    jax.random keyed from OPTIM_SEED inside each strategy - no global state."""
+    np.random.seed(cfg.OPTIM_SEED)
+    random.seed(cfg.OPTIM_SEED)
+
+
+def build_strategy(cfg: Config, label_to_idx, dict_classes, data_folder,
+                   unlabeled_files=None, runtime=None):
+    modality, method = MODEL_DISPATCH[cfg.MODEL]
+    cfg.MODALITY = modality
+    cls = MODALITY_STRATEGIES[modality]
+    strategy = cls(
+        cfg,
+        label_to_idx,
+        dict_classes["classes"],
+        dict_classes["seen_classes"],
+        dict_classes["unseen_classes"],
+        data_folder=data_folder,
+        unlabeled_files=unlabeled_files,
+        runtime=runtime,
+    )
+    return strategy, method
+
+
+def run_strategy(strategy, method, train_ds, val_ds, unlabeled_ds):
+    if method == "train":
+        return strategy.train(train_ds, val_ds, only_seen=True)
+    if method == "train_fpl":
+        return strategy.train(train_ds, val_ds, unlabeled_ds, only_seen=False)
+    if method == "fixed_iterative_train":
+        return strategy.fixed_iterative_train(train_ds, val_ds, unlabeled_ds, only_seen=False)
+    if method == "grip_train":
+        return strategy.grip_train(train_ds, val_ds, unlabeled_ds, only_seen=False)
+    raise ValueError(f"Unknown training method {method}")
+
+
+def finish_workflow(cfg, model, optimal_prompt, test_dataset, test_files, test_labels,
+                    dict_classes):
+    """Post-training: save prompts, standard ZSL eval, results JSONL, full
+    evaluation pickle (reference main_SSL.py:398-427)."""
+    if cfg.MODEL != "clip_baseline":
+        save_parameters(optimal_prompt, cfg)
+    std_predictions = model.test_predictions(test_dataset, standard_zsl=True)
+    std_response = evaluate_predictions(
+        cfg,
+        std_predictions,
+        test_files,
+        test_labels,
+        dict_classes["unseen_classes"],
+        dict_classes["seen_classes"],
+    )
+    log.info("ZSL accuracy: %s", std_response)
+    store_results(cfg, std_response)
+    images, predictions, prob_preds = model.evaluation(test_dataset)
+    save_predictions(
+        {
+            "images": images,
+            "predictions": predictions,
+            "labels": list(test_labels),
+            "logits": prob_preds,
+        },
+        cfg,
+        iteration=None,
+    )
+    return std_response
+
+
+def main_template(workflow, argv=None, env=None):
+    args = parse_args(argv)
+    cfg = load_config(args, env=env)
+    setup_logging(cfg)
+    if not Path(cfg.DATASET_DIR).exists():
+        raise FileNotFoundError(f"`dataset_dir` does not exist: {cfg.DATASET_DIR}")
+    seed_everything(cfg)
+    return workflow(cfg.DATASET_DIR, cfg)

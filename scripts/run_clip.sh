@@ -1,0 +1,11 @@
+#!/bin/bash
+# Zero-shot CLIP eval over the FRAMED datasets (reference scripts/run_clip.sh).
+export OPTIM_SEED="${OPTIM_SEED:-1}"
+export VIS_ENCODER="${VIS_ENCODER:-ViT-B/32}"
+export SPLIT_SEED="${SPLIT_SEED:-500}"
+export MODEL=clip_baseline
+export DATASET_DIR="${DATASET_DIR:?set DATASET_DIR}"
+for DATASET_NAME in Flowers102 RESICS45 FGVCAircraft MNIST EuroSAT DTD; do
+  export DATASET_NAME
+  python run_main_clip.py --model_config clip_config.yml --learning_paradigm "${1:-ssl}"
+done
