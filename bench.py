@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip for the prompt-tune step + pseudolabel-gen pass
+(CLIP ViT-B/32, EuroSAT-scale workload), per BASELINE.json.
+
+The whole workload runs as ONE jitted program per phase (the framework's
+fused-epoch design): a lax.scan encodes the pool in on-chip batches, the
+pseudolabel probabilities come back to the host for the exact leaderboard
+top-K, and every prompt-tuning epoch is a lax.scan of fused text-tower
+train steps over cached frozen image features.  Benchmark images are
+generated on-device (uint8 noise standing in for HBM-staged batches -
+throughput is content-independent); weights are random ViT-B/32 (throughput
+is weight-independent).  One warmup call pays compilation; the timed pass
+uses a different RNG seed.
+
+Work accounting mirrors the reference pipeline per-image:
+  pseudolabel pass: POOL_N images through the full image tower + softmax +
+    leaderboard (the reference does this one image at a time,
+    utils/clip_pseudolabels.py:31-44);
+  prompt tuning: EPOCHS x TRAIN_N "image steps" - the reference re-encodes
+    every image every epoch (textual_prompt.py:100); this framework encodes
+    each image once and trains on cached features, which is exactly the
+    optimization being measured.
+
+Prints ONE JSON line {"metric","value","unit","vs_baseline"}.  vs_baseline
+divides by an ESTIMATED reference throughput on A100 (the reference publishes
+no throughput numbers; see BASELINE.md): 1000 img/s, generous to a batch-16
+pipeline with a host barrier every batch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_EST_IMGS_PER_SEC = 1000.0
+
+POOL_N = 4096          # pseudolabel pool size
+TRAIN_N = 2048         # prompt-tuning train set (first half of the pool)
+N_CLASSES = 10         # EuroSAT classes
+EPOCHS = 10            # prompt-tune epochs to time
+ENCODE_BATCH = 256
+STEP_BATCH = 256
+PSEUDO_K = 16
+PREFIX_LEN = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from menghini_neurips23_tpu.data.transforms import normalize_images
+    from menghini_neurips23_tpu.models import VIT_B32, init_clip_params
+    from menghini_neurips23_tpu.models.prompts import (
+        build_prompt_token_ids,
+        coop_text_features,
+    )
+    from menghini_neurips23_tpu.pseudo.engine import leaderboard_top_k
+    from menghini_neurips23_tpu.tokenizer import get_tokenizer
+    from menghini_neurips23_tpu.training.losses import two_group_loss
+
+    arch = VIT_B32
+    model, params = init_clip_params(arch, seed=0, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    tok = get_tokenizer(None)
+    classes = [f"class {i}" for i in range(N_CLASSES)]
+    token_ids = jnp.asarray(build_prompt_token_ids(tok, classes, PREFIX_LEN))
+    prefix0 = jnp.asarray(
+        rng.normal(0, 0.02, (PREFIX_LEN, arch.transformer_width)).astype(np.float32)
+    )
+    wd, momentum, lr = 0.1, 0.0, 0.01
+    n_enc = POOL_N // ENCODE_BATCH
+    n_steps = TRAIN_N // STEP_BATCH
+
+    def _encode(params, u8):
+        x = normalize_images(u8, jnp.bfloat16)
+        f = model.apply(params, x, method="encode_image").astype(jnp.float32)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def _text_feats(params, prefix):
+        tf = coop_text_features(model, params, prefix, token_ids).astype(jnp.float32)
+        return tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+
+    @jax.jit
+    def pseudolabel_phase(params, prefix, seed):
+        """Encode the pool (scan of on-chip batches) -> zero-shot probs."""
+        key = jax.random.PRNGKey(seed)
+        scale = jnp.exp(params["params"]["logit_scale"])
+        text = _text_feats(params, prefix)
+
+        def one(_, i):
+            u8 = jax.random.randint(
+                jax.random.fold_in(key, i), (ENCODE_BATCH, 224, 224, 3), 0, 255, jnp.uint8
+            )
+            feats = _encode(params, u8)
+            logits = scale * feats @ text.T
+            return None, (jax.nn.softmax(logits, axis=-1), feats)
+
+        _, (probs, feats) = jax.lax.scan(one, None, jnp.arange(n_enc))
+        return probs.reshape(POOL_N, N_CLASSES), feats.reshape(POOL_N, arch.embed_dim)
+
+    @jax.jit
+    def tune_phase(params, prefix, feats, labels, seed):
+        """EPOCHS x (scan of fused CoOp steps) on cached frozen features."""
+        key = jax.random.PRNGKey(seed)
+        scale = jnp.exp(params["params"]["logit_scale"])
+        train_feats = feats[:TRAIN_N]
+
+        def epoch(carry, e):
+            prefix, mom = carry
+            perm = jax.random.permutation(jax.random.fold_in(key, e), TRAIN_N)
+            fb = jnp.take(train_feats, perm, axis=0).reshape(
+                n_steps, STEP_BATCH, arch.embed_dim
+            )
+            lb = jnp.take(labels, perm).reshape(n_steps, STEP_BATCH)
+
+            def step(carry, batch):
+                prefix, mom = carry
+                f, l = batch
+
+                def loss_fn(prefix):
+                    text = _text_feats(params, prefix)
+                    logits = scale * f @ text.T
+                    return two_group_loss(
+                        logits, l, jnp.zeros(STEP_BATCH, jnp.int32),
+                        jnp.ones(STEP_BATCH, jnp.float32), 1.0, 0.0,
+                    )
+
+                loss, g = jax.value_and_grad(loss_fn)(prefix)
+                g = g + wd * prefix
+                mom = momentum * mom + g
+                return (prefix - lr * mom, mom), loss
+
+            (prefix, mom), losses = jax.lax.scan(step, (prefix, mom), (fb, lb))
+            return (prefix, mom), losses[-1]
+
+        (prefix, _), losses = jax.lax.scan(
+            epoch, (prefix, jnp.zeros_like(prefix)), jnp.arange(EPOCHS)
+        )
+        return prefix, losses[-1]
+
+    labels = jnp.asarray(rng.integers(0, N_CLASSES, TRAIN_N).astype(np.int32))
+    paths = [f"img_{i}.jpg" for i in range(POOL_N)]
+
+    def run(seed):
+        t0 = time.perf_counter()
+        probs, feats = pseudolabel_phase(params, prefix0, seed)
+        probs_np = np.asarray(probs)
+        leaderboard_top_k(probs_np, paths, PSEUDO_K, list(range(N_CLASSES)))
+        prefix, last_loss = tune_phase(params, prefix0, feats, labels, seed)
+        np.asarray(prefix)  # force execution + fetch of the trained prompt
+        return time.perf_counter() - t0
+
+    run(0)  # warmup: compile both phases
+    times = [run(s) for s in (1, 2, 3)]
+    total_time = float(np.median(times))
+    images_processed = POOL_N + EPOCHS * TRAIN_N
+    value = images_processed / total_time
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (prompt-tune step + pseudolabel-gen pass, ViT-B/32)",
+                "value": round(value, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / A100_REFERENCE_EST_IMGS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
