@@ -85,6 +85,7 @@ class Config:
     # TPU-native knobs (no reference equivalent)
     COMPUTE_DTYPE: str = "float32"  # float32 | bfloat16
     CACHE_FEATURES: bool = True  # precompute frozen-tower features
+    FUSED_TRAIN: bool = True  # run the whole epoch loop as one lax.scan program
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     BPE_PATH: str = ""  # path to CLIP bpe_simple_vocab_16e6.txt.gz (optional)

@@ -269,6 +269,10 @@ class TrainingStrategy:
         epoch = self._prepare_epoch_data(train_data, train_classes, only_seen)
         val = self._prepare_val_data(val_data)
 
+        fused = self._fused_train(epoch, val, train_classes)
+        if fused is not None:
+            return fused
+
         best_acc = -1.0
         best_params = self.epoch_parameters()
         step = self._make_step(len(train_classes))
@@ -353,6 +357,50 @@ class TrainingStrategy:
 
     def _init_opt_state(self):
         raise NotImplementedError
+
+    def _fused_train(self, epoch: EpochData, val, train_classes):
+        """Optional modality hook: run the ENTIRE epoch loop (train steps +
+        per-epoch validation + best-val selection inputs) as one jitted
+        program; return (best_acc, best_params) or None to use the host loop."""
+        return None
+
+    def _fused_train_inputs(self, epoch: EpochData, val):
+        """Shared host-side assembly for fused training: per-epoch shuffles,
+        per-epoch lrs, padded batching, and validation arrays.  Permutations
+        are drawn from self._rng exactly like the host loop, so fused and
+        per-step training see identical batch compositions."""
+        cfg = self.config
+        n = len(epoch)
+        bs = self._batch_size()
+        steps = int(np.ceil(n / bs))
+        pad_n = steps * bs
+        perms = np.full((cfg.EPOCHS, pad_n), -1, np.int64)
+        for e in range(cfg.EPOCHS):
+            perms[e, :n] = self._rng.permutation(n)
+        lrs = np.asarray([lr_for_epoch(cfg, e) for e in range(cfg.EPOCHS)], np.float32)
+
+        val_paths, val_labels, val_class_list = val
+        val_feats = self._features_for_paths(val_paths)
+        # map val-class argmax -> global label id (host lut baked into the jit)
+        val_global = np.asarray(
+            [self.label_to_idx[c] for c in val_class_list], np.int32
+        )
+        trzsl_hmean = self.paradigm == "trzsl" and self.val_unseen_files is not None
+        seen_ids = np.asarray(
+            sorted(self.label_to_idx[c] for c in self.seen_classes), np.int32
+        )
+        return {
+            "steps": steps,
+            "bs": bs,
+            "perms": perms,
+            "lrs": lrs,
+            "val_feats": val_feats,
+            "val_labels": np.asarray(val_labels, np.int32),
+            "val_class_list": val_class_list,
+            "val_global": val_global,
+            "trzsl_hmean": trzsl_hmean,
+            "seen_ids": seen_ids,
+        }
 
     # ------------------------------------------------------------ validation
     def _run_validation(self, val) -> float:

@@ -1,0 +1,75 @@
+"""Fused (single-dispatch lax.scan) training must be equivalent to the
+per-step host loop: same RNG stream -> same batches -> same updates."""
+
+import numpy as np
+import pytest
+
+from menghini_neurips23_tpu.config import Config
+from menghini_neurips23_tpu.training import TextualStrategy
+
+from tests.test_training import _build_config, _datasets, _strategy
+
+
+def _train_both(tmp_path, mnist_fixture, tiny_runtime, paradigm="ssl", **kw):
+    root, _ = mnist_fixture
+    results = {}
+    for fused in (True, False):
+        cfg = _build_config(
+            tmp_path / ("fused" if fused else "loop"),
+            MODEL="textual_prompt",
+            LEARNING_PARADIGM=paradigm,
+            FUSED_TRAIN=fused,
+            EPOCHS=3,
+            **kw,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[fused] = (acc, params[0])
+    return results
+
+
+def test_fused_equals_loop(tmp_path, mnist_fixture, tiny_runtime):
+    res = _train_both(tmp_path, mnist_fixture, tiny_runtime)
+    acc_f, prefix_f = res[True]
+    acc_l, prefix_l = res[False]
+    assert acc_f == pytest.approx(acc_l, abs=1e-6)
+    np.testing.assert_allclose(prefix_f, prefix_l, rtol=2e-4, atol=1e-6)
+
+
+def test_fused_fpl_runs(tmp_path, mnist_fixture, tiny_runtime):
+    """Fused path with the two-group FPL loss and pseudo-val augmentation."""
+    root, _ = mnist_fixture
+    cfg = _build_config(tmp_path, MODEL="textual_fpl", FUSED_TRAIN=True, EPOCHS=2)
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.train(train, val, unlabeled, only_seen=False)
+    assert 0.0 <= acc <= 1.0
+    assert params[0].shape == (cfg.PREFIX_SIZE, tiny_runtime.arch.transformer_width)
+
+
+def test_fused_trzsl_hmean_metric(tmp_path, mnist_fixture, tiny_runtime):
+    """TRZSL fused validation computes the seen/unseen harmonic mean when the
+    val set includes pseudo-val unseen files."""
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="textual_fpl", LEARNING_PARADIGM="trzsl",
+        FUSED_TRAIN=True, EPOCHS=2, N_PSEUDOSHOTS=10,
+    )
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    seen, unseen = classes[:2], classes[2:]
+    strat = TextualStrategy(
+        cfg, l2i, classes, seen, unseen,
+        data_folder=str(root),
+        unlabeled_files=[f.split("/")[-1] for f in unlabeled.filepaths],
+        runtime=tiny_runtime,
+    )
+    keep = [i for i, l in enumerate(train.labels) if l in seen]
+    train.filepaths = [train.filepaths[i] for i in keep]
+    train.labels = [train.labels[i] for i in keep]
+    vkeep = [i for i, l in enumerate(val.labels) if l in seen]
+    val.filepaths = [val.filepaths[i] for i in vkeep]
+    val.labels = [val.labels[i] for i in vkeep]
+    acc, params = strat.train(train, val, unlabeled, only_seen=False)
+    assert strat.val_unseen_files is not None  # pseudo-val split active
+    assert 0.0 <= acc <= 1.0
