@@ -157,7 +157,12 @@ class TextualStrategy(TrainingStrategy):
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
-        self.prefix = jnp.asarray(np.asarray(prefixes)[best])
+        prefixes = np.asarray(prefixes)
+        # the model keeps FINAL-epoch weights while the returned/saved params
+        # are the best-val snapshot - matching the reference, whose strategy
+        # object retains last-epoch parameters after train() (main_SSL.py:403
+        # runs test_predictions on the live model, not the saved prompt)
+        self.prefix = jnp.asarray(prefixes[-1])
         self._mom = jnp.zeros_like(self.prefix)
         import logging
 
@@ -166,7 +171,7 @@ class TextualStrategy(TrainingStrategy):
             cfg.EPOCHS, best, metrics[best],
             float(np.asarray(train_accs)[-1]), float(np.asarray(losses)[-1]),
         )
-        return float(metrics[best]), [np.asarray(self.prefix)]
+        return float(metrics[best]), [prefixes[best]]
 
     def _build_fused_train(self, steps: int, bs: int, n: int, trzsl: bool):
         model = self.runtime.model
