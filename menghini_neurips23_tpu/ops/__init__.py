@@ -1,0 +1,4 @@
+from menghini_neurips23_tpu.ops.clip_head import (  # noqa: F401
+    fused_probs,
+    fused_probs_reference,
+)

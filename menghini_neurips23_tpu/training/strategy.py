@@ -240,8 +240,24 @@ class TrainingStrategy:
         reference's per-image loop (utils/clip_pseudolabels.py:31-44)."""
         text = self._zero_shot_text_features(class_list)
         img = self.runtime.encode_images_from_files(filepaths, normalize=True)
-        logits = self.runtime.logit_scale * img @ text.T
-        logits = logits.astype(np.float64)
+        return self._softmax_probs(img, text)
+
+    def _softmax_probs(self, img_feats: np.ndarray, text_feats: np.ndarray) -> np.ndarray:
+        """softmax(scale * img @ text.T). On TPU this is the fused pallas CLIP
+        head (ops/clip_head.py); on other backends an exact host computation."""
+        import jax
+
+        if jax.default_backend() == "tpu" and len(img_feats):
+            from menghini_neurips23_tpu.ops import fused_probs
+
+            return np.asarray(
+                fused_probs(
+                    jnp.asarray(img_feats), jnp.asarray(text_feats),
+                    self.runtime.logit_scale,
+                ),
+                np.float32,
+            )
+        logits = (self.runtime.logit_scale * img_feats @ text_feats.T).astype(np.float64)
         p = np.exp(logits - logits.max(1, keepdims=True))
         return (p / p.sum(1, keepdims=True)).astype(np.float32)
 
