@@ -86,6 +86,9 @@ class Config:
     COMPUTE_DTYPE: str = "float32"  # float32 | bfloat16
     CACHE_FEATURES: bool = True  # precompute frozen-tower features
     FUSED_TRAIN: bool = True  # run the whole epoch loop as one lax.scan program
+    CHECKPOINT_ITER: bool = True  # orbax-checkpoint each IFPL/GRIP iteration
+    RESUME: bool = True  # resume IFPL/GRIP from the latest iteration checkpoint
+    PROFILE_DIR: str = ""  # write a jax.profiler trace of the run here
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     BPE_PATH: str = ""  # path to CLIP bpe_simple_vocab_16e6.txt.gz (optional)

@@ -146,4 +146,10 @@ def main_template(workflow, argv=None, env=None):
     if not Path(cfg.DATASET_DIR).exists():
         raise FileNotFoundError(f"`dataset_dir` does not exist: {cfg.DATASET_DIR}")
     seed_everything(cfg)
+    if cfg.PROFILE_DIR:
+        # tracing/profiling subsystem (absent in the reference, SURVEY.md §5.1)
+        import jax
+
+        with jax.profiler.trace(cfg.PROFILE_DIR):
+            return workflow(cfg.DATASET_DIR, cfg)
     return workflow(cfg.DATASET_DIR, cfg)

@@ -485,26 +485,55 @@ class TrainingStrategy:
             train_data, val_data, train_unseen_dataset, grow=True
         )
 
+    def _grip_pseudoshots(self, k: int, num_samples: int, n_unseen: int, pool: int) -> int:
+        """GRIP quantile schedule at iteration k (reference
+        pseudo_iterative.py:64-75 for k=1 and :113-125 for the growth step,
+        which together give N(k) = int(k*num_samples/n_unseen) capped by the
+        pool)."""
+        n_per_class = int(k * num_samples / n_unseen)
+        if n_per_class * n_unseen <= pool:
+            return n_per_class
+        return math.floor(pool / n_unseen)
+
     def _iterative_train(self, train_data, val_data, unlabeled_data, grow: bool):
+        from menghini_neurips23_tpu.checkpoint import (
+            latest_iteration_state,
+            save_iteration_state,
+        )
+
         cfg = self.config
         num_iter = int(100 / cfg.STEP_QUANTILE)
         n_unseen = len(self.classes if self.paradigm == "ul" else self.unseen_classes)
         pool_size = len(unlabeled_data.filepaths)
         num_samples = int(pool_size / num_iter)
-        if grow:
-            n_per_class = int(num_samples / n_unseen)
-            cfg.N_PSEUDOSHOTS = (
-                n_per_class
-                if n_per_class * n_unseen <= pool_size
-                else math.floor(pool_size / n_unseen)
-            )
         original_train = copy.deepcopy(train_data)
         original_unlabeled = copy.deepcopy(unlabeled_data)
         original_val = copy.deepcopy(val_data)
 
         best_overall = -1.0
         best_params = self.epoch_parameters()
-        for niter in range(1, num_iter + 1):
+        start_iter = 1
+        if cfg.RESUME:
+            state = latest_iteration_state(cfg)
+            if state is not None and state["iteration"] < num_iter:
+                start_iter = state["iteration"] + 1
+                best_overall = state["best_metric"]
+                best_params = state["best_params"]
+                self.load_parameters(best_params)
+                log.info(
+                    "resuming from checkpointed iteration %d (best=%.4f)",
+                    state["iteration"], best_overall,
+                )
+            elif state is not None:
+                log.info("run already complete at iteration %d", state["iteration"])
+                self.load_parameters(state["best_params"])
+                return state["best_metric"], state["best_params"]
+
+        for niter in range(start_iter, num_iter + 1):
+            if grow:
+                cfg.N_PSEUDOSHOTS = self._grip_pseudoshots(
+                    niter, num_samples, n_unseen, pool_size
+                )
             log.info("iteration %d/%d: N_PSEUDOSHOTS=%d", niter, num_iter, cfg.N_PSEUDOSHOTS)
             if niter == 1:
                 train_data = self.create_training_dataset(train_data, unlabeled_data)
@@ -524,12 +553,8 @@ class TrainingStrategy:
                 best_overall = acc
                 best_params = params
             self.load_parameters(best_params)
-            if grow and cfg.ALL_UNLABELED:
-                n_per_class = int((niter + 1) * num_samples / n_unseen)
-                if n_per_class * n_unseen <= pool_size:
-                    cfg.N_PSEUDOSHOTS = n_per_class
-                else:
-                    cfg.N_PSEUDOSHOTS = math.floor(pool_size / n_unseen)
+            if cfg.CHECKPOINT_ITER:
+                save_iteration_state(cfg, niter, cfg.N_PSEUDOSHOTS, best_overall, best_params)
             # restore the full pool for the next refresh (the engine mutates it)
             unlabeled_data = copy.deepcopy(original_unlabeled)
             train_data = copy.deepcopy(original_train)

@@ -1,0 +1,92 @@
+"""Mesh/sharding logic on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from menghini_neurips23_tpu.models import TINY_TEST, init_clip_params
+from menghini_neurips23_tpu.parallel import (
+    clip_param_sharding,
+    data_parallelism,
+    make_mesh,
+    pad_to_multiple,
+    put_batch,
+)
+
+
+def test_make_mesh_default_1d():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    assert mesh.shape["data"] == 8
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh((4, 2))
+    assert mesh.axis_names == ("data", "model")
+    assert data_parallelism(mesh) == 4
+
+
+def test_pad_to_multiple():
+    arr = np.arange(10).reshape(5, 2)
+    padded, n = pad_to_multiple(arr, 4)
+    assert padded.shape == (8, 2)
+    assert n == 5
+    assert (padded[5:] == 0).all()
+
+
+def test_put_batch_shards_on_data_axis():
+    mesh = make_mesh()
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    y = jax.device_put(x, jax.sharding.NamedSharding(mesh, P("data")))
+    got = put_batch(mesh, x)
+    assert got.sharding.is_equivalent_to(y.sharding, ndim=2)
+    np.testing.assert_array_equal(np.asarray(got), x)
+
+
+def test_tp_param_sharding_specs():
+    mesh = make_mesh((4, 2))
+    _, params = init_clip_params(TINY_TEST, seed=0)
+    shardings = clip_param_sharding(mesh, params)
+    blk = shardings["params"]["visual"]["transformer"]["resblocks_0"]
+    assert blk["c_fc"]["kernel"].spec == P(None, "model")
+    assert blk["c_proj"]["kernel"].spec == P("model", None)
+    assert blk["attn"]["in_proj_kernel"].spec == P(None, "model")
+    assert blk["attn"]["out_proj"]["kernel"].spec == P("model", None)
+    assert blk["ln_1"]["scale"].spec == P()
+    # replicated elsewhere
+    assert shardings["params"]["logit_scale"].spec == P()
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """A TP-sharded CLIP forward must equal the replicated forward."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh((4, 2))
+    model, params = init_clip_params(TINY_TEST, seed=0)
+    a = TINY_TEST
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, a.image_resolution, a.image_resolution, 3)).astype(np.float32)
+    )
+    ref = model.apply(params, images, method="encode_image")
+    sharded_params = jax.device_put(params, clip_param_sharding(mesh, params))
+    imgs_sharded = put_batch(mesh, np.asarray(images))
+    got = jax.jit(lambda p, x: model.apply(p, x, method="encode_image"))(
+        sharded_params, imgs_sharded
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_graft_entry_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(2)
+
+
+def test_graft_entry_single_chip_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))
