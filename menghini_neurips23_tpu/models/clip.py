@@ -98,8 +98,28 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deep_prompts: Optional[jnp.ndarray] = None,
+        deep_start: int = 1,
+    ) -> jnp.ndarray:
+        """deep_prompts: optional (D, L, width) per-layer prompts.  Before
+        layer i (1 <= i <= D) the sequence positions [deep_start,
+        deep_start+L) are REPLACED by deep_prompts[i-1] - working deep-VPT
+        semantics (MVLPT); the reference's deep branch is dead code with
+        undefined attributes (reference models/clip_encoders.py:166-184)."""
         for i in range(self.layers):
+            if deep_prompts is not None and 1 <= i <= deep_prompts.shape[0]:
+                L = deep_prompts.shape[1]
+                dp = jnp.broadcast_to(
+                    deep_prompts[i - 1].astype(x.dtype),
+                    (x.shape[0], L, x.shape[2]),
+                )
+                x = jnp.concatenate(
+                    [x[:, :deep_start], dp, x[:, deep_start + L :]], axis=1
+                )
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, name=f"resblocks_{i}"
             )(x, mask)
@@ -156,10 +176,13 @@ class VisionTower(nn.Module):
         x = x + self.positional_embedding.astype(self.dtype)
         return x
 
-    def encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """tokens: (B, S, width) -> (B, embed_dim). S may exceed 1+N (visual prompts)."""
+    def encode_tokens(
+        self, tokens: jnp.ndarray, deep_prompts: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """tokens: (B, S, width) -> (B, embed_dim). S may exceed 1+N (visual
+        prompts); deep_prompts enables per-layer prompt replacement."""
         x = self.ln_pre(tokens).astype(self.dtype)
-        x = self.transformer(x)
+        x = self.transformer(x, deep_prompts=deep_prompts)
         x = self.ln_post(x[:, 0, :]).astype(self.dtype)
         return x @ self.proj.astype(self.dtype)
 
@@ -242,8 +265,10 @@ class CLIP(nn.Module):
     def vision_embed(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.visual.embed(images)
 
-    def vision_encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        return self.visual.encode_tokens(tokens)
+    def vision_encode_tokens(
+        self, tokens: jnp.ndarray, deep_prompts: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        return self.visual.encode_tokens(tokens, deep_prompts)
 
     def text_embed_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
         return self.text.embed_ids(ids)

@@ -107,18 +107,37 @@ def vpt_image_features(
     prefix: jnp.ndarray,
     images: Optional[jnp.ndarray] = None,
     tokens: Optional[jnp.ndarray] = None,
+    deep_prompts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Visual-prompt image features.
 
     Accepts either raw images or precomputed pos-embedded patch tokens - the
     patchify+pos stage is prompt-independent and frozen, so callers cache it
     once per image instead of recomputing per step (the reference reruns the
-    whole tower every batch).
+    whole tower every batch).  deep_prompts (D, L, width) enables deep VPT:
+    prompt slots are replaced before each of the first D layers after layer 0.
     """
     if tokens is None:
         tokens = model.apply(params, images, method="vision_embed")
     x = vision_tokens_with_prefix(tokens, prefix)
-    return model.apply(params, x, method="vision_encode_tokens")
+    return model.apply(params, x, deep_prompts, method="vision_encode_tokens")
+
+
+def init_deep_prefix(
+    rng: jax.Array,
+    depth: int,
+    length: int,
+    dim: int,
+    init: str = "normal",
+    mean: float = 0.0,
+    std: float = 0.02,
+) -> jnp.ndarray:
+    """Per-layer deep-VPT prompts (depth, length, dim)."""
+    if init == "normal":
+        return mean + std * jax.random.normal(rng, (depth, length, dim), jnp.float32)
+    if init == "uniform":
+        return jax.random.uniform(rng, (depth, length, dim), jnp.float32, -std, std)
+    raise ValueError(f"Unknown prefix init {init!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -168,18 +187,22 @@ def upt_features(
     """UPT forward: mix prompts, then run both prompted towers.
 
     :param upt_params: dict with keys 'coop' (L, coop_dim), 'vpt' (L, vpt_dim),
-        'mixer' (flax param tree for UPTMixer)
+        'mixer' (flax param tree for UPTMixer), optional 'deep' (D, L, vpt_dim)
     :returns: (text_features (C, E), image_features (B, E)), unnormalized
     """
     coop_o, vpt_o = mixer.apply(upt_params["mixer"], upt_params["coop"], upt_params["vpt"])
     text_feats = coop_text_features(model, params, coop_o, token_ids)
-    image_feats = vpt_image_features(model, params, vpt_o, images=images, tokens=tokens)
+    image_feats = vpt_image_features(
+        model, params, vpt_o, images=images, tokens=tokens,
+        deep_prompts=upt_params.get("deep"),
+    )
     return text_feats, image_feats
 
 
 def init_upt_params(rng: jax.Array, cfg, arch) -> dict:
-    """Initialize the UPT trainable pytree (coop + vpt prompts + mixer)."""
-    k1, k2, k3 = jax.random.split(rng, 3)
+    """Initialize the UPT trainable pytree (coop + vpt prompts + mixer,
+    plus per-layer deep VPT prompts when VPT_DEEP)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     coop = init_prefix(
         k1, cfg.TEXT_PREFIX_SIZE, arch.transformer_width, cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT
     )
@@ -188,4 +211,10 @@ def init_upt_params(rng: jax.Array, cfg, arch) -> dict:
     )
     mixer = UPTMixer(arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM)
     mixer_params = mixer.init(k3, coop, vpt)
-    return {"coop": coop, "vpt": vpt, "mixer": mixer_params}
+    out = {"coop": coop, "vpt": vpt, "mixer": mixer_params}
+    if getattr(cfg, "VPT_DEEP", False):
+        out["deep"] = init_deep_prefix(
+            k4, arch.vision_layers - 1, cfg.VISION_PREFIX_SIZE, arch.vision_width,
+            cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
+        )
+    return out

@@ -79,7 +79,10 @@ class MultimodalStrategy(TrainingStrategy):
                 tf = tf.astype(jnp.float32)
                 tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
                 x = vision_tokens_with_prefix(tokens, vpt_o)
-                img = model.apply(clip_params, x, method="vision_encode_tokens")
+                img = model.apply(
+                    clip_params, x, upt_params.get("deep"),
+                    method="vision_encode_tokens",
+                )
                 img = img.astype(jnp.float32)
                 img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
                 logits = scale * img @ tf.T
@@ -128,7 +131,10 @@ class MultimodalStrategy(TrainingStrategy):
             tf = tf.astype(jnp.float32)
             tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
             x = vision_tokens_with_prefix(tokens, vpt_o)
-            img = model.apply(clip_params, x, method="vision_encode_tokens")
+            img = model.apply(
+                clip_params, x, upt_params.get("deep"),
+                method="vision_encode_tokens",
+            )
             img = img.astype(jnp.float32)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             return tf, img
@@ -159,7 +165,7 @@ class MultimodalStrategy(TrainingStrategy):
             m["proj_vpt_pre"],
             m["proj_vpt_post"],
             np.asarray(self.upt_params["coop"]),
-            None,  # deep VPT unused (reference dead branch, prompts_models.py:133-135)
+            np.asarray(self.upt_params["deep"]) if "deep" in self.upt_params else None,
             np.asarray(self.upt_params["vpt"]),
         ]
 
@@ -178,4 +184,6 @@ class MultimodalStrategy(TrainingStrategy):
             "vpt": jnp.asarray(params[7]),
             "mixer": jax.tree.map(jnp.asarray, mixer_params),
         }
+        if params[6] is not None:
+            self.upt_params["deep"] = jnp.asarray(params[6])
         self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from menghini_neurips23_tpu.data.templates import format_prompt
-from menghini_neurips23_tpu.models.prompts import init_prefix, vision_tokens_with_prefix
+from menghini_neurips23_tpu.models.prompts import (
+    init_deep_prefix,
+    init_prefix,
+    vision_tokens_with_prefix,
+)
 from menghini_neurips23_tpu.parallel import put_batch
 from menghini_neurips23_tpu.training.losses import two_group_loss
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
@@ -33,15 +37,29 @@ class VisualStrategy(TrainingStrategy):
         arch = self.runtime.arch
         self._reinit = getattr(self, "_reinit", -1) + 1
         key = jax.random.PRNGKey(cfg.OPTIM_SEED * 1000 + self._reinit)
-        self.prefix = init_prefix(
-            key, cfg.PREFIX_SIZE, arch.vision_width,
-            cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
-        )
-        self._mom = jnp.zeros_like(self.prefix)
+        k1, k2 = jax.random.split(key)
+        self.prompt = {
+            "prefix": init_prefix(
+                k1, cfg.PREFIX_SIZE, arch.vision_width,
+                cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
+            )
+        }
+        if cfg.VPT_DEEP:
+            # working deep VPT (the reference's deep branch is dead code;
+            # see models/clip.py Transformer deep_prompts)
+            self.prompt["deep"] = init_deep_prefix(
+                k2, arch.vision_layers - 1, cfg.PREFIX_SIZE, arch.vision_width,
+                cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
+            )
+        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
         self._text_feat_cache = {}
 
     def _init_opt_state(self):
-        self._mom = jnp.zeros_like(self.prefix)
+        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
+
+    @property
+    def prefix(self):
+        return self.prompt["prefix"]
 
     # ------------------------------------------------------------ features
     def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -68,30 +86,32 @@ class VisualStrategy(TrainingStrategy):
         momentum = self.config.MOMENTUM
 
         @jax.jit
-        def step(clip_params, prefix, mom, lr, text_feats, tokens, labels, group, valid, w0, w1):
+        def step(clip_params, prompt, mom, lr, text_feats, tokens, labels, group, valid, w0, w1):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
 
-            def loss_fn(prefix):
-                x = vision_tokens_with_prefix(tokens, prefix)
-                img = model.apply(clip_params, x, method="vision_encode_tokens")
+            def loss_fn(prompt):
+                x = vision_tokens_with_prefix(tokens, prompt["prefix"])
+                img = model.apply(
+                    clip_params, x, prompt.get("deep"), method="vision_encode_tokens"
+                )
                 img = img.astype(jnp.float32)
                 img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
                 logits = scale * img @ text_feats.T
                 return two_group_loss(logits, labels, group, valid, w0, w1), logits
 
-            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prefix)
-            g = g + wd * prefix
-            mom_new = momentum * mom + g
-            new_prefix = prefix - lr * mom_new
+            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prompt)
+            g = jax.tree.map(lambda gg, p: gg + wd * p, g, prompt)
+            mom_new = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g)
+            new_prompt = jax.tree.map(lambda p, m: p - lr * m, prompt, mom_new)
             correct = ((logits.argmax(1) == labels) * valid).sum()
-            return new_prefix, mom_new, loss, correct
+            return new_prompt, mom_new, loss, correct
 
         return step
 
     def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
-        self.prefix, self._mom, loss, correct = step(
+        self.prompt, self._mom, loss, correct = step(
             self.runtime.params,
-            self.prefix,
+            self.prompt,
             self._mom,
             jnp.float32(lr),
             jnp.asarray(class_ctx),
@@ -113,9 +133,11 @@ class VisualStrategy(TrainingStrategy):
         model = self.runtime.model
 
         @jax.jit
-        def fn(clip_params, prefix, tokens):
-            x = vision_tokens_with_prefix(tokens, prefix)
-            img = model.apply(clip_params, x, method="vision_encode_tokens")
+        def fn(clip_params, prompt, tokens):
+            x = vision_tokens_with_prefix(tokens, prompt["prefix"])
+            img = model.apply(
+                clip_params, x, prompt.get("deep"), method="vision_encode_tokens"
+            )
             img = img.astype(jnp.float32)
             return img / jnp.linalg.norm(img, axis=-1, keepdims=True)
 
@@ -129,7 +151,7 @@ class VisualStrategy(TrainingStrategy):
             out.append(
                 np.asarray(
                     self._image_feats_fn(
-                        self.runtime.params, self.prefix, jnp.asarray(toks)
+                        self.runtime.params, self.prompt, jnp.asarray(toks)
                     ),
                     np.float32,
                 )
@@ -143,8 +165,13 @@ class VisualStrategy(TrainingStrategy):
 
     # ------------------------------------------------------------- persist
     def epoch_parameters(self):
-        return [np.asarray(self.prefix)]
+        out = [np.asarray(self.prompt["prefix"])]
+        if "deep" in self.prompt:
+            out.append(np.asarray(self.prompt["deep"]))
+        return out
 
     def load_parameters(self, params):
-        self.prefix = jnp.asarray(params[0])
-        self._mom = jnp.zeros_like(self.prefix)
+        self.prompt = {"prefix": jnp.asarray(params[0])}
+        if len(params) > 1 and params[1] is not None:
+            self.prompt["deep"] = jnp.asarray(params[1])
+        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
