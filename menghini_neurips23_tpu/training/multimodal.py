@@ -41,10 +41,36 @@ class MultimodalStrategy(TrainingStrategy):
             arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM
         )
         self.upt_params = init_upt_params(key, cfg, arch)
-        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)
+        self._init_opt_state()
 
-    def _init_opt_state(self):
-        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)
+    def _get_prompt_tree(self):
+        return self.upt_params
+
+    def _set_prompt_tree(self, tree):
+        self.upt_params = tree
+
+    def _logits_fn(self):
+        model = self.runtime.model
+        mixer = self.mixer
+
+        def fn(clip_params, upt_params, token_ids, tokens):
+            scale = jnp.exp(clip_params["params"]["logit_scale"])
+            coop_o, vpt_o = mixer.apply(
+                upt_params["mixer"], upt_params["coop"], upt_params["vpt"]
+            )
+            tf = coop_text_features(model, clip_params, coop_o, token_ids)
+            tf = tf.astype(jnp.float32)
+            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+            x = vision_tokens_with_prefix(tokens, vpt_o)
+            img = model.apply(
+                clip_params, x, upt_params.get("deep"),
+                method="vision_encode_tokens",
+            )
+            img = img.astype(jnp.float32)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            return scale * img @ tf.T
+
+        return fn
 
     # ------------------------------------------------------------ features
     def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -59,62 +85,6 @@ class MultimodalStrategy(TrainingStrategy):
         return build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
         )
-
-    # ---------------------------------------------------------------- step
-    def _make_step(self, n_classes: int):
-        model = self.runtime.model
-        mixer = self.mixer
-        wd = self.config.DECAY
-        momentum = self.config.MOMENTUM
-
-        @jax.jit
-        def step(clip_params, upt_params, mom, lr, token_ids, tokens, labels, group, valid, w0, w1):
-            scale = jnp.exp(clip_params["params"]["logit_scale"])
-
-            def loss_fn(upt_params):
-                coop_o, vpt_o = mixer.apply(
-                    upt_params["mixer"], upt_params["coop"], upt_params["vpt"]
-                )
-                tf = coop_text_features(model, clip_params, coop_o, token_ids)
-                tf = tf.astype(jnp.float32)
-                tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
-                x = vision_tokens_with_prefix(tokens, vpt_o)
-                img = model.apply(
-                    clip_params, x, upt_params.get("deep"),
-                    method="vision_encode_tokens",
-                )
-                img = img.astype(jnp.float32)
-                img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-                logits = scale * img @ tf.T
-                return two_group_loss(logits, labels, group, valid, w0, w1), logits
-
-            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(upt_params)
-            g = jax.tree.map(lambda gg, p: gg + wd * p, g, upt_params)
-            mom_new = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g)
-            new_params = jax.tree.map(lambda p, m: p - lr * m, upt_params, mom_new)
-            correct = ((logits.argmax(1) == labels) * valid).sum()
-            return new_params, mom_new, loss, correct
-
-        return step
-
-    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
-        self.upt_params, self._mom, loss, correct = step(
-            self.runtime.params,
-            self.upt_params,
-            self._mom,
-            jnp.float32(lr),
-            jnp.asarray(class_ctx),
-            *put_batch(
-                self.runtime.mesh,
-                np.asarray(feats),
-                np.asarray(labels),
-                np.asarray(group),
-                np.asarray(valid),
-            ),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-        )
-        return float(loss), float(correct)
 
     # ----------------------------------------------------------- inference
     @functools.cached_property
@@ -186,4 +156,4 @@ class MultimodalStrategy(TrainingStrategy):
         }
         if params[6] is not None:
             self.upt_params["deep"] = jnp.asarray(params[6])
-        self._mom = jax.tree.map(jnp.zeros_like, self.upt_params)
+        self._init_opt_state()

@@ -52,6 +52,7 @@ from menghini_neurips23_tpu.pseudo.engine import (
     pseudolabel_top_k,
 )
 from menghini_neurips23_tpu.runtime import ClipRuntime
+from menghini_neurips23_tpu.training.losses import two_group_loss
 from menghini_neurips23_tpu.training.schedulers import lr_for_epoch
 from menghini_neurips23_tpu.evaluation.persist import save_parameters, save_pseudo_labels
 
@@ -120,8 +121,79 @@ class TrainingStrategy:
         """Token ids / text features needed by the step for `class_list`."""
         raise NotImplementedError
 
-    def _make_step(self, n_classes: int):
+    def _logits_fn(self):
+        """Modality hook: returns a pure fn
+        (clip_params, prompt_tree, class_ctx, feats) -> (B, C) fp32 logits."""
         raise NotImplementedError
+
+    def _get_prompt_tree(self):
+        raise NotImplementedError
+
+    def _set_prompt_tree(self, tree):
+        raise NotImplementedError
+
+    # ------------------------------------------------- generic SGD machinery
+    def _make_step(self, n_classes: int):
+        """Fused loss+grad+SGD update (torch.optim.SGD semantics: wd added to
+        the grad, then momentum, then lr).  With ACCUMULATION_ITER>1 the step
+        accumulates grads of loss/accum and applies the update only when
+        `apply` is set - the reference's manual accumulation
+        (textual_prompt.py:130-135)."""
+        logits_fn = self._logits_fn()
+        cfg = self.config
+        wd, momentum, accum = cfg.DECAY, cfg.MOMENTUM, cfg.ACCUMULATION_ITER
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("apply",))
+        def step(clip_params, prompt, mom, gacc, lr, ctx, feats, labels, group,
+                 valid, w0, w1, apply=True):
+            def loss_fn(prompt):
+                logits = logits_fn(clip_params, prompt, ctx, feats)
+                loss = two_group_loss(logits, labels, group, valid, w0, w1)
+                return loss / accum, logits
+
+            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prompt)
+            gacc = jax.tree.map(jnp.add, gacc, g)
+            if apply:
+                g2 = jax.tree.map(lambda gg, p: gg + wd * p, gacc, prompt)
+                mom = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g2)
+                prompt = jax.tree.map(lambda p, m: p - lr * m, prompt, mom)
+                gacc = jax.tree.map(jnp.zeros_like, gacc)
+            correct = ((logits.argmax(1) == labels) * valid).sum()
+            return prompt, mom, gacc, loss * accum, correct
+
+        return step
+
+    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid,
+                    apply: bool = True):
+        from menghini_neurips23_tpu.parallel import put_batch
+
+        prompt = self._get_prompt_tree()
+        new_prompt, self._mom, self._gacc, loss, correct = step(
+            self.runtime.params,
+            prompt,
+            self._mom,
+            self._gacc,
+            jnp.float32(lr),
+            jnp.asarray(class_ctx),
+            *put_batch(
+                self.runtime.mesh,
+                np.asarray(feats),
+                np.asarray(labels),
+                np.asarray(group),
+                np.asarray(valid),
+            ),
+            jnp.float32(self._w0),
+            jnp.float32(self._w1),
+            apply=apply,
+        )
+        self._set_prompt_tree(new_prompt)
+        return float(loss), float(correct)
+
+    def _init_opt_state(self):
+        tree = self._get_prompt_tree()
+        self._mom = jax.tree.map(jnp.zeros_like, tree)
+        self._gacc = jax.tree.map(jnp.zeros_like, tree)
 
     def _predict_logits(self, paths: Sequence[str], class_list: Sequence[str]) -> np.ndarray:
         """(N, C) logits for images under the CURRENT prompt parameters."""
@@ -340,11 +412,13 @@ class TrainingStrategy:
 
     def _run_train_epoch(self, step, class_ctx, epoch: EpochData, lr, bs):
         n = len(epoch)
+        accum = max(1, self.config.ACCUMULATION_ITER)
         order = self._rng.permutation(n)
+        starts = list(range(0, n, bs))
         total_correct = 0
         total = 0
         loss_val = 0.0
-        for s in range(0, n, bs):
+        for si, s in enumerate(starts):
             idx = order[s : s + bs]
             count = len(idx)
             pad = bs - count
@@ -359,20 +433,16 @@ class TrainingStrategy:
             valid = np.concatenate(
                 [np.ones(count, np.float32), np.zeros(pad, np.float32)]
             )
+            # optimizer steps every accum batches or at epoch end (reference
+            # textual_prompt.py:134-135)
+            apply = ((si + 1) % accum == 0) or (si + 1 == len(starts))
             loss_val, correct = self._apply_step(
-                step, class_ctx, lr, feats, labels.astype(np.int32), group, valid
+                step, class_ctx, lr, feats, labels.astype(np.int32), group, valid,
+                apply=apply,
             )
             total_correct += int(correct)
             total += count
         return (total_correct / max(1, total)), float(loss_val)
-
-    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
-        """Run one jitted, donated update; mutates the strategy's prompt/opt
-        state. Subclasses own the signature."""
-        raise NotImplementedError
-
-    def _init_opt_state(self):
-        raise NotImplementedError
 
     def _fused_train(self, epoch: EpochData, val, train_classes):
         """Optional modality hook: run the ENTIRE epoch loop (train steps +

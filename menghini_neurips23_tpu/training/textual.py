@@ -39,12 +39,27 @@ class TextualStrategy(TrainingStrategy):
             key, cfg.PREFIX_SIZE, arch.transformer_width,
             cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
         )
-        self._mom = jnp.zeros_like(self.prefix)
+        self._init_opt_state()
         if not hasattr(self, "_fused_cache"):
             self._fused_cache = {}
 
-    def _init_opt_state(self):
-        self._mom = jnp.zeros_like(self.prefix)
+    def _get_prompt_tree(self):
+        return self.prefix
+
+    def _set_prompt_tree(self, tree):
+        self.prefix = tree
+
+    def _logits_fn(self):
+        model = self.runtime.model
+
+        def fn(clip_params, prefix, token_ids, feats):
+            scale = jnp.exp(clip_params["params"]["logit_scale"])
+            tf = coop_text_features(model, clip_params, prefix, token_ids)
+            tf = tf.astype(jnp.float32)
+            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+            return scale * feats.astype(jnp.float32) @ tf.T
+
+        return fn
 
     # ------------------------------------------------------------ features
     def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -60,51 +75,6 @@ class TextualStrategy(TrainingStrategy):
             self.runtime.tokenizer, class_list, self.config.PREFIX_SIZE
         )
 
-    # ---------------------------------------------------------------- step
-    def _make_step(self, n_classes: int):
-        model = self.runtime.model
-        wd = self.config.DECAY
-        momentum = self.config.MOMENTUM
-
-        @jax.jit
-        def step(clip_params, prefix, mom, lr, token_ids, feats, labels, group, valid, w0, w1):
-            scale = jnp.exp(clip_params["params"]["logit_scale"])
-
-            def loss_fn(prefix):
-                tf = coop_text_features(model, clip_params, prefix, token_ids)
-                tf = tf.astype(jnp.float32)
-                tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
-                logits = scale * feats.astype(jnp.float32) @ tf.T
-                return two_group_loss(logits, labels, group, valid, w0, w1), logits
-
-            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prefix)
-            g = g + wd * prefix  # torch-SGD style weight decay
-            mom_new = momentum * mom + g
-            new_prefix = prefix - lr * mom_new
-            correct = ((logits.argmax(1) == labels) * valid).sum()
-            return new_prefix, mom_new, loss, correct
-
-        return step
-
-    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
-        self.prefix, self._mom, loss, correct = step(
-            self.runtime.params,
-            self.prefix,
-            self._mom,
-            jnp.float32(lr),
-            jnp.asarray(class_ctx),
-            *put_batch(
-                self.runtime.mesh,
-                np.asarray(feats),
-                np.asarray(labels),
-                np.asarray(group),
-                np.asarray(valid),
-            ),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-        )
-        return float(loss), float(correct)
-
     # ------------------------------------------------------------ fused train
     def _fused_train(self, epoch, val, train_classes):
         """Run the ENTIRE training (all epochs of fused CoOp steps + per-epoch
@@ -119,7 +89,7 @@ class TextualStrategy(TrainingStrategy):
         test in tests/test_fused_train.py).
         """
         cfg = self.config
-        if not cfg.FUSED_TRAIN or len(epoch) == 0:
+        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1:
             return None
         inp = self._fused_train_inputs(epoch, val)
         token_train = jnp.asarray(self._train_text_class_ids(train_classes))
@@ -163,7 +133,7 @@ class TextualStrategy(TrainingStrategy):
         # object retains last-epoch parameters after train() (main_SSL.py:403
         # runs test_predictions on the live model, not the saved prompt)
         self.prefix = jnp.asarray(prefixes[-1])
-        self._mom = jnp.zeros_like(self.prefix)
+        self._init_opt_state()
         import logging
 
         logging.getLogger(__name__).info(
@@ -274,4 +244,4 @@ class TextualStrategy(TrainingStrategy):
 
     def load_parameters(self, params):
         self.prefix = jnp.asarray(params[0])
-        self._mom = jnp.zeros_like(self.prefix)
+        self._init_opt_state()

