@@ -17,6 +17,28 @@ import numpy as np
 
 FRAMED = ("EuroSAT", "DTD", "RESICS45", "FGVCAircraft", "MNIST", "Flowers102")
 
+# aPY class-name corrections (reference prepare_data.py:32-37)
+APY_CORRECTIONS = {
+    "diningtable": "dining table",
+    "tvmonitor": "tv monitor",
+    "jetski": "jet ski",
+    "pottedplant": "potted plant",
+}
+
+# AwA2 class-name corrections (reference prepare_data.py:62-73)
+AWA2_CORRECTIONS = {
+    "grizzly+bear": "grizzly bear",
+    "killer+whale": "killer whale",
+    "persian+cat": "persian cat",
+    "german+shepherd": "german shepherd",
+    "blue+whale": "blue whale",
+    "siamese+cat": "siamese cat",
+    "spider+monkey": "spider monkey",
+    "humpback+whale": "humpback whale",
+    "giant+panda": "giant panda",
+    "polar+bear": "polar bear",
+}
+
 # EuroSAT class-name -> directory correction (reference prepare_data.py:287-298)
 EUROSAT_DIRS = {
     "annual crop land": "AnnualCrop",
@@ -58,6 +80,17 @@ def get_class_names(dataset: str, dataset_dir: str, seed: int = 500):
     trainval/test class files are also supported (reference :187-204).
     """
     path = f"{dataset_dir}/{dataset}"
+    if dataset == "aPY":
+        # legacy branch (reference prepare_data.py:19-45): fixed proposed split
+        p = f"{path}/proposed_split"
+        seen = [APY_CORRECTIONS.get(c, c) for c in _read_lines(f"{p}/trainvalclasses.txt")]
+        unseen = [APY_CORRECTIONS.get(c, c) for c in _read_lines(f"{p}/testclasses.txt")]
+        return seen + unseen, seen, unseen
+    if dataset == "Animals_with_Attributes2":
+        # legacy branch (reference prepare_data.py:47-82)
+        seen = [AWA2_CORRECTIONS.get(c, c) for c in _read_lines(f"{path}/trainvalclasses.txt")]
+        unseen = [AWA2_CORRECTIONS.get(c, c) for c in _read_lines(f"{path}/testclasses.txt")]
+        return seen + unseen, seen, unseen
     if dataset in ("EuroSAT", "DTD", "Flowers102"):
         classes = _read_lines(f"{path}/class_names.txt")
     elif dataset in ("FGVCAircraft", "MNIST"):
@@ -94,6 +127,54 @@ def get_labeled_and_unlabeled_data(
     of (filename, classname).  Mirrors reference prepare_data.py:209-604 per
     dataset; 'labeled' covers seen classes, 'unlabeled' unseen classes.
     """
+    if dataset == "Animals_with_Attributes2":
+        # legacy branch (reference prepare_data.py:271-284 + the generic
+        # 80/20 split tail :586-604): no index files, 20% held out as test
+        labeled_files, labels_files, unlabeled_files, unlabeled_labs = [], [], [], []
+        for c in seen_classes:
+            for f in os.listdir(f"{data_folder}/JPEGImages/{c.replace(' ', '+')}"):
+                labeled_files.append(f)
+                labels_files.append(c)
+        for c in unseen_classes:
+            for f in os.listdir(f"{data_folder}/JPEGImages/{c.replace(' ', '+')}"):
+                unlabeled_files.append(f)
+                unlabeled_labs.append(c)
+        tr_f, tr_l, te_sf, te_sl = split_data(0.8, labeled_files, labels_files)
+        un_f, un_l, te_uf, te_ul = split_data(0.8, unlabeled_files, unlabeled_labs)
+        labeled = list(zip(tr_f, tr_l))
+        unlabeled = list(zip(un_f, un_l))
+        test = list(zip(te_sf, te_sl)) + list(zip(te_uf, te_ul))
+        return labeled, unlabeled, test
+
+    if dataset == "aPY":
+        # legacy branch (reference prepare_data.py:222-269 + generic tail)
+        import pandas as pd
+
+        image_data = pd.read_csv(f"{data_folder}/image_data.csv", sep=",")
+        broken = {"yahoo_test_images/bag_227.jpg", "yahoo_test_images/mug_308.jpg"}
+        names = [
+            "broken" if row in broken else f"{i}.jpg"
+            for i, row in enumerate(image_data["image_path"])
+        ]
+        image_data["file_names"] = names
+        image_data["label"] = image_data["label"].apply(
+            lambda x: APY_CORRECTIONS.get(x, x)
+        )
+        image_data["seen"] = image_data["label"].apply(
+            lambda x: 1 if x in seen_classes else 0
+        )
+        ok = image_data["file_names"] != "broken"
+        labeled_files = list(image_data[(image_data["seen"] == 1) & ok]["file_names"])
+        labels_files = list(image_data[(image_data["seen"] == 1) & ok]["label"])
+        unlabeled_files = list(image_data[(image_data["seen"] == 0) & ok]["file_names"])
+        unlabeled_labs = list(image_data[(image_data["seen"] == 0) & ok]["label"])
+        tr_f, tr_l, te_sf, te_sl = split_data(0.8, labeled_files, labels_files)
+        un_f, un_l, te_uf, te_ul = split_data(0.8, unlabeled_files, unlabeled_labs)
+        labeled = list(zip(tr_f, tr_l))
+        unlabeled = list(zip(un_f, un_l))
+        test = list(zip(te_sf, te_sl)) + list(zip(te_uf, te_ul))
+        return labeled, unlabeled, test
+
     if dataset == "EuroSAT":
         labeled, unlabeled = [], []
         for c in seen_classes:

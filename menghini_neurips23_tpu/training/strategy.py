@@ -631,6 +631,15 @@ class TrainingStrategy:
         return best_overall, best_params
 
     # -------------------------------------------------------------- inference
+    def load_model_eval(self, iteration=None):
+        """Rebuild the model for evaluation from saved prompt artifacts
+        (reference load_model_eval -> define_model, textual_prompt.py:298-299;
+        here: load the pickled prompt pytree back into the strategy)."""
+        from menghini_neurips23_tpu.evaluation.persist import load_saved_parameters
+
+        self.load_parameters(load_saved_parameters(self.config, iteration))
+        return self
+
     def test_predictions(self, data, standard_zsl: bool = False) -> pd.DataFrame:
         """Predictions dataframe (id=basename, class=name) - reference
         textual_prompt.py:226-296, with exact unpadding instead of the
