@@ -9,3 +9,8 @@ from menghini_neurips23_tpu.parallel.mesh import (  # noqa: F401
     put_replicated,
     replicated,
 )
+from menghini_neurips23_tpu.parallel.multihost import (  # noqa: F401
+    initialize_distributed,
+    is_main_process,
+    shard_filelist_for_host,
+)

@@ -1,0 +1,64 @@
+"""Multi-host SPMD helpers.
+
+Replaces the reference's `accelerate launch` process group (reference
+methods_config/accelerate_config.yml: 4 single-node GPU processes) with the
+JAX multi-controller model: `jax.distributed.initialize()` once per host, one
+global mesh over all chips (ICI within a slice, DCN across slices), and
+per-host file-list sharding for data loading (each host decodes only its own
+shard; the global batch is assembled by device placement, not collectives).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+
+log = logging.getLogger(__name__)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX process group (no-op on a single host)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log.info(
+        "distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def shard_filelist_for_host(
+    filepaths: Sequence[str],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Tuple[List[str], List[int]]:
+    """Contiguous per-host shard of a file list (with global indices).
+
+    Each host loads only its shard; sizes differ by at most one file, and the
+    global order is recovered from the returned indices (exact unpadding - no
+    drop_duplicates dedup as in the reference, textual_prompt.py:294).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n = len(filepaths)
+    base, rem = divmod(n, pc)
+    start = pi * base + min(pi, rem)
+    size = base + (1 if pi < rem else 0)
+    idx = list(range(start, start + size))
+    return [filepaths[i] for i in idx], idx
+
+
+def is_main_process() -> bool:
+    """Rank-0 IO guard (replaces accelerator.is_local_main_process)."""
+    return jax.process_index() == 0

@@ -90,3 +90,54 @@ def test_graft_entry_single_chip_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+def test_shard_filelist_for_host():
+    from menghini_neurips23_tpu.parallel import shard_filelist_for_host
+
+    files = [f"f{i}" for i in range(10)]
+    seen = []
+    for pi in range(3):
+        shard, idx = shard_filelist_for_host(files, process_index=pi, process_count=3)
+        assert shard == [files[i] for i in idx]
+        seen += idx
+    assert sorted(seen) == list(range(10))  # exact cover, no overlap
+    sizes = [len(shard_filelist_for_host(files, pi, 3)[0]) for pi in range(3)]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_vit_l14_shapes_via_eval_shape():
+    """ViT-L/14 wiring is validated shape-only (eval_shape, no FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from menghini_neurips23_tpu.models import VIT_L14
+    from menghini_neurips23_tpu.models.clip import CLIP
+
+    a = VIT_L14
+    model = CLIP(a)
+    images = jax.ShapeDtypeStruct((2, a.image_resolution, a.image_resolution, 3), jnp.float32)
+    ids = jax.ShapeDtypeStruct((5, a.context_length), jnp.int32)
+    params_shape = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(images.shape), jnp.zeros(ids.shape, jnp.int32))
+    )
+    out = jax.eval_shape(
+        lambda p, i, t: model.apply(p, i, t), params_shape, images, ids
+    )
+    assert out[0].shape == (2, 5)
+    vt = params_shape["params"]["visual"]["transformer"]
+    assert len(vt) == a.vision_layers
+    assert vt["resblocks_0"]["attn"]["in_proj_kernel"].shape == (1024, 3072)
+    assert params_shape["params"]["text"]["text_projection"].shape == (768, 768)
+
+
+def test_split_json_generator(tmp_path):
+    from menghini_neurips23_tpu.data.splits import generate_split_json
+
+    d = tmp_path / "EuroSAT"
+    d.mkdir()
+    (d / "class_names.txt").write_text("\n".join(f"c{i}" for i in range(10)) + "\n")
+    out = generate_split_json("EuroSAT", str(tmp_path), seeds=(500, 0))
+    assert set(out) == {"split_500", "split_0"}
+    assert len(out["split_500"]["seen"]) == 6
+    assert set(out["split_500"]["seen"]) | set(out["split_500"]["unseen"]) == {f"c{i}" for i in range(10)}
