@@ -73,3 +73,35 @@ def test_fused_trzsl_hmean_metric(tmp_path, mnist_fixture, tiny_runtime):
     acc, params = strat.train(train, val, unlabeled, only_seen=False)
     assert strat.val_unseen_files is not None  # pseudo-val split active
     assert 0.0 <= acc <= 1.0
+
+
+def test_visual_fused_equals_loop(tmp_path, mnist_fixture, tiny_runtime):
+    from menghini_neurips23_tpu.training import VisualStrategy
+
+    root, _ = mnist_fixture
+    results = {}
+    for fused in (True, False):
+        cfg = _build_config(
+            tmp_path / ("vf" if fused else "vl"),
+            MODEL="visual_prompt", MODALITY="image",
+            FUSED_TRAIN=fused, EPOCHS=3,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(VisualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[fused] = (acc, params[0])
+    assert results[True][0] == pytest.approx(results[False][0], abs=1e-6)
+    np.testing.assert_allclose(results[True][1], results[False][1], rtol=2e-4, atol=1e-6)
+
+
+def test_visual_fused_deep(tmp_path, mnist_fixture, tiny_runtime):
+    from menghini_neurips23_tpu.training import VisualStrategy
+
+    root, _ = mnist_fixture
+    cfg = _build_config(tmp_path, MODEL="visual_prompt", MODALITY="image",
+                        FUSED_TRAIN=True, VPT_DEEP=True, EPOCHS=2)
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(VisualStrategy, cfg, classes, l2i, tiny_runtime, root)
+    acc, params = strat.train(train, val, only_seen=True)
+    assert len(params) == 2  # prefix + deep
+    assert 0.0 <= acc <= 1.0
