@@ -10,7 +10,6 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 from menghini_neurips23_tpu.data.templates import format_prompt

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 
-import numpy as np
 
 from menghini_neurips23_tpu.data import (
     dataset_object,

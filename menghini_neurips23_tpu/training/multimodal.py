@@ -24,8 +24,6 @@ from menghini_neurips23_tpu.models.prompts import (
     init_upt_params,
     vision_tokens_with_prefix,
 )
-from menghini_neurips23_tpu.parallel import put_batch
-from menghini_neurips23_tpu.training.losses import two_group_loss
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
 
 

@@ -22,7 +22,6 @@ from menghini_neurips23_tpu.models.prompts import (
     coop_text_features,
     init_prefix,
 )
-from menghini_neurips23_tpu.parallel import put_batch
 from menghini_neurips23_tpu.training.losses import two_group_loss
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
 

@@ -18,13 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from menghini_neurips23_tpu.data.templates import format_prompt
 from menghini_neurips23_tpu.models.prompts import (
     init_deep_prefix,
     init_prefix,
     vision_tokens_with_prefix,
 )
-from menghini_neurips23_tpu.parallel import put_batch
 from menghini_neurips23_tpu.training.losses import two_group_loss
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
 
