@@ -406,6 +406,10 @@ class TrainingStrategy:
             paths = paths + list(self.val_unseen_files)
             labels = labels + [int(l) for l in self.val_unseen_labs]
             class_list = self.classes
+        elif self.paradigm == "ul":
+            # UL always validates over ALL classes (reference
+            # unsupervised_learning/textual_prompt.py:172-176)
+            class_list = self.classes
         else:
             class_list = self.seen_classes
         return paths, np.asarray(labels, np.int32), class_list

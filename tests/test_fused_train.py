@@ -105,3 +105,25 @@ def test_visual_fused_deep(tmp_path, mnist_fixture, tiny_runtime):
     acc, params = strat.train(train, val, only_seen=True)
     assert len(params) == 2  # prefix + deep
     assert 0.0 <= acc <= 1.0
+
+
+def test_multimodal_fused_equals_loop(tmp_path, mnist_fixture, tiny_runtime):
+    from menghini_neurips23_tpu.training import MultimodalStrategy
+
+    root, _ = mnist_fixture
+    results = {}
+    for fused in (True, False):
+        cfg = _build_config(
+            tmp_path / ("mf" if fused else "ml"),
+            MODEL="multimodal_prompt", MODALITY="multi",
+            FUSED_TRAIN=fused, EPOCHS=3,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(MultimodalStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[fused] = (acc, params)
+    acc_f, p_f = results[True]
+    acc_l, p_l = results[False]
+    assert acc_f == pytest.approx(acc_l, abs=1e-6)
+    np.testing.assert_allclose(p_f[5], p_l[5], rtol=5e-4, atol=1e-6)  # coop
+    np.testing.assert_allclose(p_f[7], p_l[7], rtol=5e-4, atol=1e-6)  # vpt
