@@ -102,7 +102,8 @@ def main():
 
     @jax.jit
     def tune_phase(params, prefix, feats, labels, seed):
-        """EPOCHS x (scan of fused CoOp steps) on cached frozen features."""
+        """ALL tuning epochs in one dispatch (the framework's fused-train
+        shape): scan over epochs of scans over fused CoOp steps."""
         key = jax.random.PRNGKey(seed)
         scale = jnp.exp(params["params"]["logit_scale"])
         train_feats = feats[:TRAIN_N]

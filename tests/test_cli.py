@@ -1,0 +1,89 @@
+"""CLI entry points: argparse + YAML + env-var config path, end to end."""
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import make_mnist_fixture
+
+
+def test_main_ssl_cli(tmp_path, monkeypatch):
+    root = tmp_path / "data" / "MNIST"
+    make_mnist_fixture(root)
+    cfg_path = tmp_path / "tiny_config.yml"
+    cfg_path.write_text(
+        "\n".join(
+            [
+                'DATASET_DIR: "$DATASET_DIR"',
+                'DATASET_NAME: "$DATASET_NAME"',
+                "MODALITY: 'text'",
+                'MODEL: "$MODEL"',
+                'VIS_ENCODER: "$VIS_ENCODER"',
+                "N_LABEL: 2",
+                "PREFIX_SIZE: 4",
+                'VIS_PREFIX_INIT: "normal"',
+                "MEAN_INIT: 0",
+                "VAR_INIT: 0.02",
+                "validation_seed: 0",
+                "ratio_train_val: 0.8",
+                "BATCH_SIZE: 8",
+                "EPOCHS: 1",
+                'SCHEDULER: "cosine"',
+                "WARMUP_EPOCHS: 1",
+                "WARMUP_LR: 0.0001",
+                "ACCUMULATION_ITER: 1",
+                'OPTIM: "SGD"',
+                "LR: 0.01",
+                "DECAY: 0.1",
+                "STEP_SIZE: 1",
+                'OPTIM_SEED: "$OPTIM_SEED"',
+                'SPLIT_SEED: "$SPLIT_SEED"',
+                f"ARTIFACT_DIR: {tmp_path}",
+            ]
+        )
+    )
+    env = {
+        "OPTIM_SEED": "1",
+        "VIS_ENCODER": "tiny-test",
+        "DATASET_NAME": "MNIST",
+        "DATASET_DIR": str(tmp_path / "data"),
+        "MODEL": "textual_prompt",
+        "SPLIT_SEED": "500",
+    }
+    monkeypatch.chdir(tmp_path)
+    from menghini_neurips23_tpu.runners import main_ssl
+
+    resp = main_ssl.main(
+        argv=["--model_config", str(cfg_path), "--learning_paradigm", "ssl"], env=env
+    )
+    assert 0.0 <= resp[0] <= 1.0
+    results = tmp_path / "results_model_textual_prompt.json"
+    assert results.exists()
+    rec = json.loads(results.read_text().splitlines()[0])
+    assert rec["config"]["DATASET_NAME"] == "MNIST"
+    assert rec["config"]["LEARNING_PARADIGM"] == "ssl"
+    # logfile created by the logging subsystem
+    assert (tmp_path / "logs" / "MNIST_textual_prompt_tiny-test.log").exists()
+
+
+def test_bundled_config_resolution(tmp_path, monkeypatch):
+    """--model_config resolves bundled configs/ names from anywhere."""
+    from menghini_neurips23_tpu.runners.common import load_config, parse_args
+
+    env = {
+        "OPTIM_SEED": "2",
+        "VIS_ENCODER": "ViT-B/32",
+        "DATASET_NAME": "EuroSAT",
+        "DATASET_DIR": "/data",
+        "MODEL": "grip_textual",
+        "SPLIT_SEED": "0",
+    }
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--model_config", "grip_textual_config.yml", "--learning_paradigm", "ul"])
+    cfg = load_config(args, env=env)
+    assert cfg.MODEL == "grip_textual"
+    assert cfg.LEARNING_PARADIGM == "ul"
+    assert cfg.N_PSEUDOSHOTS == 16
+    assert cfg.STEP_QUANTILE == 10
+    assert cfg.PROMPT_TEMPLATE == "a photo of a {}"
