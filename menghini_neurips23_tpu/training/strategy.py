@@ -647,8 +647,13 @@ class TrainingStrategy:
     def test_predictions(self, data, standard_zsl: bool = False) -> pd.DataFrame:
         """Predictions dataframe (id=basename, class=name) - reference
         textual_prompt.py:226-296, with exact unpadding instead of the
-        drop_duplicates heuristic."""
-        class_list = self.unseen_classes if standard_zsl else self.classes
+        drop_duplicates heuristic.  UL always predicts over ALL classes
+        (reference unsupervised_learning/textual_prompt.py:231 ignores
+        standard_zsl)."""
+        if self.paradigm == "ul":
+            class_list = self.classes
+        else:
+            class_list = self.unseen_classes if standard_zsl else self.classes
         logits = self._predict_logits(data.filepaths, class_list)
         preds = [class_list[i] for i in logits.argmax(1)]
         ids = [f.split("/")[-1] for f in data.filepaths]
