@@ -94,11 +94,21 @@ def compute_pseudo_labels(
     label_to_idx: Dict[str, int],
     k: int,
     filename: str | None = None,
+    method: str = "exact",
 ):
-    """Apply leaderboard selection and mutate `dataset` in place (reference
-    protocol, clip_pseudolabels.py:111-117); optionally pickle the result."""
+    """Apply top-K selection and mutate `dataset` in place (reference
+    protocol, clip_pseudolabels.py:111-117); optionally pickle the result.
+
+    :param method: "exact" = the reference's sequential leaderboard cascade;
+        "device" = one lax.top_k on device (pseudo/device_topk.py)
+    """
     class_ids = [label_to_idx[c] for c in classnames]
-    new_imgs, new_labels = leaderboard_top_k(probs, dataset.filepaths, k, class_ids)
+    if method == "device":
+        from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+
+        new_imgs, new_labels = device_topk(probs, dataset.filepaths, k, class_ids)
+    else:
+        new_imgs, new_labels = leaderboard_top_k(probs, dataset.filepaths, k, class_ids)
     dataset.filepaths = new_imgs
     dataset.labels = new_labels
     dataset.label_id = True
@@ -157,4 +167,7 @@ def pseudolabel_top_k(
         dataset.label_id = True
         return dataset
     probs = probs_fn()
-    return compute_pseudo_labels(probs, dataset, classnames, label_to_idx, k, filename)
+    method = getattr(config, "PSEUDO_TOPK", "exact")
+    return compute_pseudo_labels(
+        probs, dataset, classnames, label_to_idx, k, filename, method=method
+    )

@@ -535,7 +535,8 @@ class TrainingStrategy:
         classes = self.classes if self.paradigm == "ul" else self.unseen_classes
         probs = self._tuned_probs(pseudo_unseen.filepaths, classes)
         return compute_pseudo_labels(
-            probs, pseudo_unseen, classes, self.label_to_idx, cfg.N_PSEUDOSHOTS
+            probs, pseudo_unseen, classes, self.label_to_idx, cfg.N_PSEUDOSHOTS,
+            method=getattr(cfg, "PSEUDO_TOPK", "exact"),
         )
 
     def _tuned_probs(self, filepaths, class_list) -> np.ndarray:
