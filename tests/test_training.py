@@ -194,3 +194,17 @@ def test_trzsl_loss_policy(tmp_path, mnist_fixture, tiny_runtime):
     n_pseudo = sum(strat._train_groups)
     n_seen = len(strat._train_groups) - n_pseudo
     assert strat.balance_param == pytest.approx(n_seen / n_pseudo)
+
+
+def test_bfloat16_compute_dtype_smoke(tmp_path, mnist_fixture):
+    """COMPUTE_DTYPE=bfloat16 trains end to end (bf16 matmuls, fp32 LN/softmax)."""
+    from menghini_neurips23_tpu.runtime import ClipRuntime
+
+    root, _ = mnist_fixture
+    cfg = _build_config(tmp_path, COMPUTE_DTYPE="bfloat16", EPOCHS=2)
+    rt = ClipRuntime(cfg)
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(TextualStrategy, cfg, classes, l2i, rt, root)
+    acc, params = strat.train(train, val, only_seen=True)
+    assert 0.0 <= acc <= 1.0
+    assert np.isfinite(params[0]).all()
