@@ -80,9 +80,9 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(
             y.astype(self.dtype)
         )
@@ -146,11 +146,11 @@ class VisionTower(nn.Module):
             (a.num_patches + 1, a.vision_width),
             jnp.float32,
         )
-        self.ln_pre = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.transformer = Transformer(
             a.vision_width, a.vision_layers, a.vision_heads, self.dtype
         )
-        self.ln_post = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.proj = self.param(
             "proj",
             nn.initializers.normal(a.vision_width**-0.5),
@@ -211,7 +211,7 @@ class TextTower(nn.Module):
         self.transformer = Transformer(
             a.transformer_width, a.transformer_layers, a.transformer_heads, self.dtype
         )
-        self.ln_final = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.text_projection = self.param(
             "text_projection",
             nn.initializers.normal(a.transformer_width**-0.5),

@@ -454,6 +454,11 @@ class TrainingStrategy:
         program; return (best_acc, best_params) or None to use the host loop."""
         return None
 
+    def _fused_val_ok(self, val) -> bool:
+        """Fused training needs a non-empty validation set (the per-epoch
+        metric drives best-checkpoint selection)."""
+        return len(val[0]) > 0
+
     def _fused_train_inputs(self, epoch: EpochData, val):
         """Shared host-side assembly for fused training: per-epoch shuffles,
         per-epoch lrs, padded batching, and validation arrays.  Permutations

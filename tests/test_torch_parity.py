@@ -1,0 +1,170 @@
+"""Numeric parity of the Flax CLIP against an independent torch oracle.
+
+The oracle implements OpenAI CLIP's forward math (pre-LN transformer,
+QuickGELU, causal text mask, EOT pooling, linear projections) directly in
+torch from the published architecture description.  Both models load the SAME
+OpenAI-layout state dict through our converter, so this catches transposes,
+LN placement, pooling and mask bugs that shape tests cannot.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from menghini_neurips23_tpu.models import TINY_TEST, convert_state_dict
+from menghini_neurips23_tpu.models.clip import CLIP
+
+from tests.test_clip_model import test_convert_state_dict_roundtrip  # noqa: F401
+
+
+def _make_state_dict(a, rng):
+    def blk(width, prefix):
+        return {
+            f"{prefix}.ln_1.weight": rng.normal(1, 0.02, width).astype(np.float32),
+            f"{prefix}.ln_1.bias": rng.normal(0, 0.02, width).astype(np.float32),
+            f"{prefix}.ln_2.weight": rng.normal(1, 0.02, width).astype(np.float32),
+            f"{prefix}.ln_2.bias": rng.normal(0, 0.02, width).astype(np.float32),
+            f"{prefix}.attn.in_proj_weight": rng.normal(0, 0.05, (3 * width, width)).astype(np.float32),
+            f"{prefix}.attn.in_proj_bias": rng.normal(0, 0.02, 3 * width).astype(np.float32),
+            f"{prefix}.attn.out_proj.weight": rng.normal(0, 0.05, (width, width)).astype(np.float32),
+            f"{prefix}.attn.out_proj.bias": rng.normal(0, 0.02, width).astype(np.float32),
+            f"{prefix}.mlp.c_fc.weight": rng.normal(0, 0.05, (4 * width, width)).astype(np.float32),
+            f"{prefix}.mlp.c_fc.bias": rng.normal(0, 0.02, 4 * width).astype(np.float32),
+            f"{prefix}.mlp.c_proj.weight": rng.normal(0, 0.05, (width, 4 * width)).astype(np.float32),
+            f"{prefix}.mlp.c_proj.bias": rng.normal(0, 0.02, width).astype(np.float32),
+        }
+
+    W, TW, E, P, L = a.vision_width, a.transformer_width, a.embed_dim, a.vision_patch_size, a.context_length
+    grid = a.image_resolution // P
+    sd = {
+        "visual.conv1.weight": rng.normal(0, 0.05, (W, 3, P, P)).astype(np.float32),
+        "visual.class_embedding": rng.normal(0, 0.05, W).astype(np.float32),
+        "visual.positional_embedding": rng.normal(0, 0.05, (grid * grid + 1, W)).astype(np.float32),
+        "visual.ln_pre.weight": rng.normal(1, 0.02, W).astype(np.float32),
+        "visual.ln_pre.bias": rng.normal(0, 0.02, W).astype(np.float32),
+        "visual.ln_post.weight": rng.normal(1, 0.02, W).astype(np.float32),
+        "visual.ln_post.bias": rng.normal(0, 0.02, W).astype(np.float32),
+        "visual.proj": rng.normal(0, 0.05, (W, E)).astype(np.float32),
+        "token_embedding.weight": rng.normal(0, 0.02, (a.vocab_size, TW)).astype(np.float32),
+        "positional_embedding": rng.normal(0, 0.01, (L, TW)).astype(np.float32),
+        "ln_final.weight": rng.normal(1, 0.02, TW).astype(np.float32),
+        "ln_final.bias": rng.normal(0, 0.02, TW).astype(np.float32),
+        "text_projection": rng.normal(0, 0.05, (TW, E)).astype(np.float32),
+        "logit_scale": np.asarray(np.log(1 / 0.07), np.float32),
+    }
+    for i in range(a.vision_layers):
+        sd.update(blk(W, f"visual.transformer.resblocks.{i}"))
+    for i in range(a.transformer_layers):
+        sd.update(blk(TW, f"transformer.resblocks.{i}"))
+    return sd
+
+
+def _torch_block(x, sd, prefix, heads, mask=None):
+    """One pre-LN residual attention block, (T, B, W) like OpenAI CLIP."""
+    t = lambda k: torch.from_numpy(sd[k])
+    W = x.shape[-1]
+    y = F.layer_norm(x, (W,), t(f"{prefix}.ln_1.weight"), t(f"{prefix}.ln_1.bias"))
+    attn_out, _ = F.multi_head_attention_forward(
+        y, y, y, W, heads,
+        t(f"{prefix}.attn.in_proj_weight"), t(f"{prefix}.attn.in_proj_bias"),
+        None, None, False, 0.0,
+        t(f"{prefix}.attn.out_proj.weight"), t(f"{prefix}.attn.out_proj.bias"),
+        need_weights=False, attn_mask=mask,
+    )
+    x = x + attn_out
+    y = F.layer_norm(x, (W,), t(f"{prefix}.ln_2.weight"), t(f"{prefix}.ln_2.bias"))
+    y = y @ t(f"{prefix}.mlp.c_fc.weight").T + t(f"{prefix}.mlp.c_fc.bias")
+    y = y * torch.sigmoid(1.702 * y)  # QuickGELU
+    y = y @ t(f"{prefix}.mlp.c_proj.weight").T + t(f"{prefix}.mlp.c_proj.bias")
+    return x + y
+
+
+def _torch_encode_image(sd, a, images_nchw):
+    t = lambda k: torch.from_numpy(sd[k])
+    x = F.conv2d(images_nchw, t("visual.conv1.weight"), stride=a.vision_patch_size)
+    B, W, g, _ = x.shape
+    x = x.reshape(B, W, -1).permute(0, 2, 1)  # (B, N, W)
+    cls = t("visual.class_embedding").expand(B, 1, W)
+    x = torch.cat([cls, x], dim=1) + t("visual.positional_embedding")
+    x = F.layer_norm(x, (W,), t("visual.ln_pre.weight"), t("visual.ln_pre.bias"))
+    x = x.permute(1, 0, 2)  # (T, B, W)
+    for i in range(a.vision_layers):
+        x = _torch_block(x, sd, f"visual.transformer.resblocks.{i}", a.vision_heads)
+    x = x.permute(1, 0, 2)
+    x = F.layer_norm(x[:, 0, :], (W,), t("visual.ln_post.weight"), t("visual.ln_post.bias"))
+    return x @ t("visual.proj")
+
+
+def _torch_encode_text(sd, a, ids):
+    t = lambda k: torch.from_numpy(sd[k])
+    x = t("token_embedding.weight")[ids] + t("positional_embedding")
+    TW = x.shape[-1]
+    mask = torch.full((a.context_length, a.context_length), float("-inf"))
+    mask = torch.triu(mask, diagonal=1)
+    x = x.permute(1, 0, 2)
+    for i in range(a.transformer_layers):
+        x = _torch_block(x, sd, f"transformer.resblocks.{i}", a.transformer_heads, mask)
+    x = x.permute(1, 0, 2)
+    x = F.layer_norm(x, (TW,), t("ln_final.weight"), t("ln_final.bias"))
+    eot = ids.argmax(dim=-1)
+    x = x[torch.arange(x.shape[0]), eot]
+    return x @ t("text_projection")
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    a = TINY_TEST
+    rng = np.random.default_rng(42)
+    sd = _make_state_dict(a, rng)
+    arch, params = convert_state_dict(sd)
+    model = CLIP(arch)
+    return a, sd, model, params, rng
+
+
+def test_image_tower_matches_torch_oracle(parity_setup):
+    import jax.numpy as jnp
+
+    a, sd, model, params, rng = parity_setup
+    images = rng.normal(0, 1, (3, a.image_resolution, a.image_resolution, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(images), method="encode_image"))
+    with torch.no_grad():
+        theirs = _torch_encode_image(
+            sd, a, torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_text_tower_matches_torch_oracle(parity_setup):
+    import jax.numpy as jnp
+
+    a, sd, model, params, rng = parity_setup
+    ids = np.zeros((4, a.context_length), np.int64)
+    ids[:, 0] = a.vocab_size - 2  # sot
+    for r in range(4):
+        n = 3 + r
+        ids[r, 1 : 1 + n] = rng.integers(1, 400, n)
+        ids[r, 1 + n] = a.vocab_size - 1  # eot (max id)
+    ours = np.asarray(model.apply(params, jnp.asarray(ids.astype(np.int32)), method="encode_text"))
+    with torch.no_grad():
+        theirs = _torch_encode_text(sd, a, torch.from_numpy(ids)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_full_clip_logits_match_torch_oracle(parity_setup):
+    import jax.numpy as jnp
+
+    a, sd, model, params, rng = parity_setup
+    images = rng.normal(0, 1, (2, a.image_resolution, a.image_resolution, 3)).astype(np.float32)
+    ids = np.zeros((3, a.context_length), np.int64)
+    ids[:, 0] = a.vocab_size - 2
+    ids[:, 1] = [5, 6, 7]
+    ids[:, 2] = a.vocab_size - 1
+    li, _ = model.apply(params, jnp.asarray(images), jnp.asarray(ids.astype(np.int32)))
+    with torch.no_grad():
+        img = _torch_encode_image(sd, a, torch.from_numpy(images.transpose(0, 3, 1, 2)))
+        txt = _torch_encode_text(sd, a, torch.from_numpy(ids))
+        img = img / img.norm(dim=-1, keepdim=True)
+        txt = txt / txt.norm(dim=-1, keepdim=True)
+        want = (np.exp(sd["logit_scale"]) * img @ txt.T).numpy()
+    np.testing.assert_allclose(np.asarray(li), want, rtol=2e-4, atol=2e-4)
