@@ -168,3 +168,84 @@ def test_full_clip_logits_match_torch_oracle(parity_setup):
         txt = txt / txt.norm(dim=-1, keepdim=True)
         want = (np.exp(sd["logit_scale"]) * img @ txt.T).numpy()
     np.testing.assert_allclose(np.asarray(li), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Prompted-tower oracles: the reference's CustomTextEncoder splice and
+# CustomVisionTransformer prefix-insert, reimplemented in torch as oracles
+# (reference models/clip_encoders.py:43-90 and :123-194 semantics).
+# ---------------------------------------------------------------------------
+def _torch_coop_text(sd, a, ids, prefix):
+    t = lambda k: torch.from_numpy(sd[k])
+    emb = t("token_embedding.weight")[ids]
+    L = prefix.shape[0]
+    emb[:, 1 : 1 + L, :] = torch.from_numpy(prefix)  # splice (clip_encoders.py:67)
+    x = emb + t("positional_embedding")
+    TW = x.shape[-1]
+    mask = torch.triu(torch.full((a.context_length, a.context_length), float("-inf")), 1)
+    x = x.permute(1, 0, 2)
+    for i in range(a.transformer_layers):
+        x = _torch_block(x, sd, f"transformer.resblocks.{i}", a.transformer_heads, mask)
+    x = x.permute(1, 0, 2)
+    x = F.layer_norm(x, (TW,), t("ln_final.weight"), t("ln_final.bias"))
+    eot = ids.argmax(dim=-1)
+    return x[torch.arange(x.shape[0]), eot] @ t("text_projection")
+
+
+def _torch_vpt_image(sd, a, images_nchw, prefix):
+    t = lambda k: torch.from_numpy(sd[k])
+    x = F.conv2d(images_nchw, t("visual.conv1.weight"), stride=a.vision_patch_size)
+    B, W, g, _ = x.shape
+    x = x.reshape(B, W, -1).permute(0, 2, 1)
+    cls = t("visual.class_embedding").expand(B, 1, W)
+    x = torch.cat([cls, x], dim=1) + t("visual.positional_embedding")
+    # insert prefix between CLS and patches AFTER pos-emb (clip_encoders.py:146-155)
+    pfx = torch.from_numpy(prefix).expand(B, -1, -1)
+    x = torch.cat([x[:, :1, :], pfx, x[:, 1:, :]], dim=1)
+    x = F.layer_norm(x, (W,), t("visual.ln_pre.weight"), t("visual.ln_pre.bias"))
+    x = x.permute(1, 0, 2)
+    for i in range(a.vision_layers):
+        x = _torch_block(x, sd, f"visual.transformer.resblocks.{i}", a.vision_heads)
+    x = x.permute(1, 0, 2)
+    x = F.layer_norm(x[:, 0, :], (W,), t("visual.ln_post.weight"), t("visual.ln_post.bias"))
+    return x @ t("visual.proj")
+
+
+def test_coop_splice_matches_torch_oracle(parity_setup):
+    import jax.numpy as jnp
+
+    from menghini_neurips23_tpu.models.prompts import coop_text_features
+
+    a, sd, model, params, rng = parity_setup
+    L = 4
+    prefix = rng.normal(0, 0.02, (L, a.transformer_width)).astype(np.float32)
+    ids = np.zeros((5, a.context_length), np.int64)
+    ids[:, 0] = a.vocab_size - 2
+    ids[:, 1 : 1 + L] = 320  # 'X' placeholders
+    ids[:, 1 + L] = rng.integers(1, 400, 5)
+    ids[:, 2 + L] = a.vocab_size - 1
+    ours = np.asarray(
+        coop_text_features(model, params, jnp.asarray(prefix), jnp.asarray(ids.astype(np.int32)))
+    )
+    with torch.no_grad():
+        theirs = _torch_coop_text(sd, a, torch.from_numpy(ids), prefix).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_vpt_insert_matches_torch_oracle(parity_setup):
+    import jax.numpy as jnp
+
+    from menghini_neurips23_tpu.models.prompts import vpt_image_features
+
+    a, sd, model, params, rng = parity_setup
+    L = 3
+    prefix = rng.normal(0, 0.02, (L, a.vision_width)).astype(np.float32)
+    images = rng.normal(0, 1, (2, a.image_resolution, a.image_resolution, 3)).astype(np.float32)
+    ours = np.asarray(
+        vpt_image_features(model, params, jnp.asarray(prefix), images=jnp.asarray(images))
+    )
+    with torch.no_grad():
+        theirs = _torch_vpt_image(
+            sd, a, torch.from_numpy(images.transpose(0, 3, 1, 2)), prefix
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
