@@ -51,8 +51,22 @@ def leaderboard_top_k(
         preds = probs.argmax(axis=1)
         return list(filepaths), [class_ids[j] for j in preds]
 
-    boards: Dict[int, List[Tuple[float, str]]] = {cid: [] for cid in class_ids}
     argmax = probs.argmax(axis=1)
+
+    # Vectorized-exact fast path: when no class receives more than k argmax
+    # assignments, no board ever overflows, so the cascade never fires and
+    # every board holds exactly its argmax-assigned samples in arrival order.
+    counts = np.bincount(argmax, minlength=c)
+    if counts.max() <= k:
+        new_imgs = []
+        new_labels = []
+        for j, cid in enumerate(class_ids):
+            members = np.flatnonzero(argmax == j)
+            new_imgs += [filepaths[i] for i in members]
+            new_labels += [cid] * len(members)
+        return new_imgs, new_labels
+
+    boards: Dict[int, List[Tuple[float, str]]] = {cid: [] for cid in class_ids}
     for i in range(n):
         pred_col = int(argmax[i])
         pred = class_ids[pred_col]

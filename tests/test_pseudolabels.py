@@ -149,3 +149,16 @@ def test_device_topk_respects_k():
         want = {p for _, p in sorted(assigned, reverse=True)[:5]}
         got = {imgs[i] for i in range(len(imgs)) if labs[i] == cid}
         assert got == want
+
+
+def test_fast_path_matches_sequential_when_no_overflow():
+    """The vectorized no-overflow fast path must be byte-identical to the
+    sequential algorithm (arrival order within boards included)."""
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(60, 5)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    paths = [f"i{i:03d}" for i in range(60)]
+    class_ids = [2, 4, 6, 8, 10]
+    fast = leaderboard_top_k(probs, paths, 60, class_ids)  # k >= n: no overflow
+    seq = spec_leaderboard(probs, paths, 60, class_ids)
+    assert fast == tuple(seq) or list(fast) == list(seq)
