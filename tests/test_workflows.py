@@ -124,3 +124,16 @@ def test_config_from_yaml_env_expansion(tmp_path):
 def test_config_flowers_forces_two_shots():
     cfg = Config.from_dict({"N_LABEL": 16}, env={"DATASET_NAME": "Flowers102"})
     assert cfg.N_LABEL == 2
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """PROFILE_DIR wraps the workflow in a real jax.profiler trace."""
+    import jax
+    import jax.numpy as jnp
+
+    trace_dir = tmp_path / "trace"
+    with jax.profiler.trace(str(trace_dir)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    # a profile session directory with trace artifacts must exist
+    produced = list(trace_dir.rglob("*"))
+    assert any(p.is_file() for p in produced), produced
