@@ -25,7 +25,9 @@ from menghini_neurips23_tpu.models.prompts import (  # noqa: F401
     vpt_image_features,
 )
 from menghini_neurips23_tpu.models.convert import (  # noqa: F401
+    convert_hf_state_dict,
     convert_state_dict,
+    is_hf_state_dict,
     infer_arch,
     load_clip,
     load_npz,

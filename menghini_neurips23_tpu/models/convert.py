@@ -129,6 +129,65 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> Tuple[CLIPArch, dict]:
     return arch, params
 
 
+def is_hf_state_dict(sd: Mapping[str, np.ndarray]) -> bool:
+    return any(k.startswith("text_model.") or k.startswith("vision_model.") for k in sd)
+
+
+def convert_hf_state_dict(sd: Mapping[str, np.ndarray]) -> Tuple[CLIPArch, dict]:
+    """HuggingFace CLIPModel state_dict -> (arch, flax params).
+
+    HF stores q/k/v projections separately and projections as Linear weights;
+    this reassembles the fused OpenAI layout and reuses convert_state_dict.
+    """
+    f32 = lambda k: np.asarray(sd[k], np.float32)
+    out: Dict[str, np.ndarray] = {}
+
+    def copy_block(hf_prefix: str, oa_prefix: str, n_layers: int):
+        for i in range(n_layers):
+            h = f"{hf_prefix}.layers.{i}"
+            o = f"{oa_prefix}.resblocks.{i}"
+            out[f"{o}.ln_1.weight"] = f32(f"{h}.layer_norm1.weight")
+            out[f"{o}.ln_1.bias"] = f32(f"{h}.layer_norm1.bias")
+            out[f"{o}.ln_2.weight"] = f32(f"{h}.layer_norm2.weight")
+            out[f"{o}.ln_2.bias"] = f32(f"{h}.layer_norm2.bias")
+            out[f"{o}.attn.in_proj_weight"] = np.concatenate(
+                [f32(f"{h}.self_attn.{p}_proj.weight") for p in ("q", "k", "v")], axis=0
+            )
+            out[f"{o}.attn.in_proj_bias"] = np.concatenate(
+                [f32(f"{h}.self_attn.{p}_proj.bias") for p in ("q", "k", "v")], axis=0
+            )
+            out[f"{o}.attn.out_proj.weight"] = f32(f"{h}.self_attn.out_proj.weight")
+            out[f"{o}.attn.out_proj.bias"] = f32(f"{h}.self_attn.out_proj.bias")
+            out[f"{o}.mlp.c_fc.weight"] = f32(f"{h}.mlp.fc1.weight")
+            out[f"{o}.mlp.c_fc.bias"] = f32(f"{h}.mlp.fc1.bias")
+            out[f"{o}.mlp.c_proj.weight"] = f32(f"{h}.mlp.fc2.weight")
+            out[f"{o}.mlp.c_proj.bias"] = f32(f"{h}.mlp.fc2.bias")
+
+    n_text = len({k.split(".")[3] for k in sd if k.startswith("text_model.encoder.layers.")})
+    n_vis = len({k.split(".")[3] for k in sd if k.startswith("vision_model.encoder.layers.")})
+    copy_block("text_model.encoder", "transformer", n_text)
+    copy_block("vision_model.encoder", "visual.transformer", n_vis)
+
+    out["token_embedding.weight"] = f32("text_model.embeddings.token_embedding.weight")
+    out["positional_embedding"] = f32("text_model.embeddings.position_embedding.weight")
+    out["ln_final.weight"] = f32("text_model.final_layer_norm.weight")
+    out["ln_final.bias"] = f32("text_model.final_layer_norm.bias")
+    # HF text_projection is a Linear (E, TW) applied as x @ W.T -> OpenAI (TW, E)
+    out["text_projection"] = f32("text_projection.weight").T
+    out["visual.proj"] = f32("visual_projection.weight").T
+    out["visual.conv1.weight"] = f32("vision_model.embeddings.patch_embedding.weight")
+    out["visual.class_embedding"] = f32("vision_model.embeddings.class_embedding")
+    out["visual.positional_embedding"] = f32(
+        "vision_model.embeddings.position_embedding.weight"
+    )
+    out["visual.ln_pre.weight"] = f32("vision_model.pre_layrnorm.weight")
+    out["visual.ln_pre.bias"] = f32("vision_model.pre_layrnorm.bias")
+    out["visual.ln_post.weight"] = f32("vision_model.post_layernorm.weight")
+    out["visual.ln_post.bias"] = f32("vision_model.post_layernorm.bias")
+    out["logit_scale"] = f32("logit_scale")
+    return convert_state_dict(out)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load an OpenAI CLIP .pt (TorchScript archive or state_dict) as numpy."""
     import torch  # CPU-only wheel, host-side use only
@@ -185,8 +244,11 @@ def load_clip(path: str):
         if arch is None:
             raise ValueError(f"Cannot infer architecture from {path}")
         return arch, CLIP(arch), tree
-    if path.endswith(".pt") or path.endswith(".pth"):
+    if path.endswith(".pt") or path.endswith(".pth") or path.endswith(".bin"):
         sd = load_torch_checkpoint(path)
-        arch, params = convert_state_dict(sd)
+        if is_hf_state_dict(sd):
+            arch, params = convert_hf_state_dict(sd)
+        else:
+            arch, params = convert_state_dict(sd)
         return arch, CLIP(arch), params
     raise ValueError(f"Unsupported checkpoint format: {path}")

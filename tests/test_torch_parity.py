@@ -249,3 +249,63 @@ def test_vpt_insert_matches_torch_oracle(parity_setup):
             sd, a, torch.from_numpy(images.transpose(0, 3, 1, 2)), prefix
         ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def _openai_to_hf(sd, a):
+    """Re-express an OpenAI-layout state dict in HF CLIPModel naming."""
+    hf = {}
+
+    def blocks(oa_prefix, hf_prefix, n, width):
+        for i in range(n):
+            o = f"{oa_prefix}.resblocks.{i}"
+            h = f"{hf_prefix}.layers.{i}"
+            hf[f"{h}.layer_norm1.weight"] = sd[f"{o}.ln_1.weight"]
+            hf[f"{h}.layer_norm1.bias"] = sd[f"{o}.ln_1.bias"]
+            hf[f"{h}.layer_norm2.weight"] = sd[f"{o}.ln_2.weight"]
+            hf[f"{h}.layer_norm2.bias"] = sd[f"{o}.ln_2.bias"]
+            w = sd[f"{o}.attn.in_proj_weight"]
+            b = sd[f"{o}.attn.in_proj_bias"]
+            for j, p in enumerate(("q", "k", "v")):
+                hf[f"{h}.self_attn.{p}_proj.weight"] = w[j * width : (j + 1) * width]
+                hf[f"{h}.self_attn.{p}_proj.bias"] = b[j * width : (j + 1) * width]
+            hf[f"{h}.self_attn.out_proj.weight"] = sd[f"{o}.attn.out_proj.weight"]
+            hf[f"{h}.self_attn.out_proj.bias"] = sd[f"{o}.attn.out_proj.bias"]
+            hf[f"{h}.mlp.fc1.weight"] = sd[f"{o}.mlp.c_fc.weight"]
+            hf[f"{h}.mlp.fc1.bias"] = sd[f"{o}.mlp.c_fc.bias"]
+            hf[f"{h}.mlp.fc2.weight"] = sd[f"{o}.mlp.c_proj.weight"]
+            hf[f"{h}.mlp.fc2.bias"] = sd[f"{o}.mlp.c_proj.bias"]
+
+    blocks("transformer", "text_model.encoder", a.transformer_layers, a.transformer_width)
+    blocks("visual.transformer", "vision_model.encoder", a.vision_layers, a.vision_width)
+    hf["text_model.embeddings.token_embedding.weight"] = sd["token_embedding.weight"]
+    hf["text_model.embeddings.position_embedding.weight"] = sd["positional_embedding"]
+    hf["text_model.final_layer_norm.weight"] = sd["ln_final.weight"]
+    hf["text_model.final_layer_norm.bias"] = sd["ln_final.bias"]
+    hf["text_projection.weight"] = sd["text_projection"].T
+    hf["visual_projection.weight"] = sd["visual.proj"].T
+    hf["vision_model.embeddings.patch_embedding.weight"] = sd["visual.conv1.weight"]
+    hf["vision_model.embeddings.class_embedding"] = sd["visual.class_embedding"]
+    hf["vision_model.embeddings.position_embedding.weight"] = sd["visual.positional_embedding"]
+    hf["vision_model.pre_layrnorm.weight"] = sd["visual.ln_pre.weight"]
+    hf["vision_model.pre_layrnorm.bias"] = sd["visual.ln_pre.bias"]
+    hf["vision_model.post_layernorm.weight"] = sd["visual.ln_post.weight"]
+    hf["vision_model.post_layernorm.bias"] = sd["visual.ln_post.bias"]
+    hf["logit_scale"] = sd["logit_scale"]
+    return hf
+
+
+def test_hf_conversion_equals_openai_conversion(parity_setup):
+    import jax
+
+    from menghini_neurips23_tpu.models import convert_hf_state_dict, is_hf_state_dict
+
+    a, sd, model, params, rng = parity_setup
+    hf = _openai_to_hf(sd, a)
+    assert is_hf_state_dict(hf)
+    arch2, params2 = convert_hf_state_dict(hf)
+    assert arch2.name == a.name
+    leaves1 = jax.tree_util.tree_leaves_with_path(params)
+    leaves2 = {tuple(str(k) for k in p): v for p, v in jax.tree_util.tree_leaves_with_path(params2)}
+    for p, v in leaves1:
+        key = tuple(str(k) for k in p)
+        np.testing.assert_array_equal(v, leaves2[key], err_msg=str(key))
