@@ -55,8 +55,10 @@ EUROSAT_DIRS = {
 
 
 def _read_lines(path: str) -> List[str]:
+    # exact reference behavior (prepare_data.py:88-90): every line, stripped -
+    # including any blank lines, which become "" classes there too
     with open(path, "r") as f:
-        return [l.strip() for l in f if l.strip() or l == "\n"]
+        return [l.strip() for l in f]
 
 
 def _seeded_62pct_split(classes: Sequence[str], seed: int) -> Tuple[List[str], List[str]]:

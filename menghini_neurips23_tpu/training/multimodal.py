@@ -71,13 +71,24 @@ class MultimodalStrategy(TrainingStrategy):
         return fn
 
     # ------------------------------------------------------------ features
-    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
+    def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
+        """Pos-embedded CLS+patch tokens (N, 1+P, width).  Patch tokens are
+        ~150KB/image, so only training/validation paths are cached; large
+        inference pools (cache=False callers) stream through."""
         missing = [p for p in paths if p not in self._feat_cache]
+        computed = {}
         if missing:
             toks = self.runtime.vision_tokens_from_files(missing)
             for p, t in zip(missing, toks):
-                self._feat_cache[p] = t
-        return np.stack([self._feat_cache[p] for p in paths]) if paths else np.empty((0,))
+                if cache:
+                    self._feat_cache[p] = t
+                else:
+                    computed[p] = t
+        if not paths:
+            return np.empty((0,))
+        return np.stack(
+            [self._feat_cache.get(p, computed.get(p)) for p in paths]
+        )
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         return build_prompt_token_ids(
@@ -259,7 +270,7 @@ class MultimodalStrategy(TrainingStrategy):
         ids = jnp.asarray(self._train_text_class_ids(class_list))
         out = []
         for s in range(0, len(paths), batch):
-            toks = self._features_for_paths(paths[s : s + batch])
+            toks = self._features_for_paths(paths[s : s + batch], cache=False)
             tf, img = self._feats_fn(
                 self.runtime.params, self.upt_params, ids, jnp.asarray(toks)
             )

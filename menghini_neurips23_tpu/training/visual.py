@@ -80,14 +80,24 @@ class VisualStrategy(TrainingStrategy):
         return self.prompt["prefix"]
 
     # ------------------------------------------------------------ features
-    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
-        """Cached pos-embedded CLS+patch tokens (N, 1+P, width)."""
+    def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
+        """Pos-embedded CLS+patch tokens (N, 1+P, width).  Patch tokens are
+        ~150KB/image, so only training/validation paths are cached; large
+        inference pools (cache=False callers) stream through."""
         missing = [p for p in paths if p not in self._feat_cache]
+        computed = {}
         if missing:
             toks = self.runtime.vision_tokens_from_files(missing)
             for p, t in zip(missing, toks):
-                self._feat_cache[p] = t
-        return np.stack([self._feat_cache[p] for p in paths]) if paths else np.empty((0,))
+                if cache:
+                    self._feat_cache[p] = t
+                else:
+                    computed[p] = t
+        if not paths:
+            return np.empty((0,))
+        return np.stack(
+            [self._feat_cache.get(p, computed.get(p)) for p in paths]
+        )
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         """Frozen normalized text features for template prompts (reference
@@ -248,7 +258,7 @@ class VisualStrategy(TrainingStrategy):
         """Prompted, normalized image features for a file list."""
         out = []
         for s in range(0, len(paths), batch):
-            toks = self._features_for_paths(paths[s : s + batch])
+            toks = self._features_for_paths(paths[s : s + batch], cache=False)
             out.append(
                 np.asarray(
                     self._image_feats_fn(
