@@ -103,7 +103,7 @@ class MultimodalStrategy(TrainingStrategy):
         nested lax.scan; per-epoch UPT pytree snapshots come back for
         host-side best-val selection (see TextualStrategy._fused_train)."""
         cfg = self.config
-        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val):
+        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val) or not self._fused_fits(epoch):
             return None
         inp = self._fused_train_inputs(epoch, val)
         ids_train = jnp.asarray(self._train_text_class_ids(train_classes))

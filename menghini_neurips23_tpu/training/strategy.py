@@ -459,6 +459,13 @@ class TrainingStrategy:
         metric drives best-checkpoint selection)."""
         return len(val[0]) > 0
 
+    def _fused_fits(self, epoch: EpochData) -> bool:
+        """Whole-run fusion keeps the training features device-resident (plus
+        one gathered copy inside the scan); bail out to the streaming host
+        loop when that would not fit."""
+        nbytes = getattr(epoch.features, "nbytes", 0)
+        return 2 * nbytes <= self.config.FUSED_MAX_BYTES
+
     def _fused_train_inputs(self, epoch: EpochData, val):
         """Shared host-side assembly for fused training: per-epoch shuffles,
         per-epoch lrs, padded batching, and validation arrays.  Permutations

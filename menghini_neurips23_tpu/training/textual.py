@@ -88,7 +88,7 @@ class TextualStrategy(TrainingStrategy):
         test in tests/test_fused_train.py).
         """
         cfg = self.config
-        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val):
+        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val) or not self._fused_fits(epoch):
             return None
         inp = self._fused_train_inputs(epoch, val)
         token_train = jnp.asarray(self._train_text_class_ids(train_classes))

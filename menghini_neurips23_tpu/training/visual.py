@@ -115,7 +115,7 @@ class VisualStrategy(TrainingStrategy):
         the vision transformer over cached patch tokens and the frozen text
         features are constants)."""
         cfg = self.config
-        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val):
+        if not cfg.FUSED_TRAIN or len(epoch) == 0 or cfg.ACCUMULATION_ITER != 1 or not self._fused_val_ok(val) or not self._fused_fits(epoch):
             return None
         inp = self._fused_train_inputs(epoch, val)
         text_train = jnp.asarray(self._train_text_class_ids(train_classes))
