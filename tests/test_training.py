@@ -208,3 +208,66 @@ def test_bfloat16_compute_dtype_smoke(tmp_path, mnist_fixture):
     acc, params = strat.train(train, val, only_seen=True)
     assert 0.0 <= acc <= 1.0
     assert np.isfinite(params[0]).all()
+
+
+def test_iterative_fpl_training(tmp_path, mnist_fixture, tiny_runtime):
+    """IFPL: fixed N_PSEUDOSHOTS across iterations (unlike GRIP's growth)."""
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="iterative_textual_fpl", STEP_QUANTILE=50, EPOCHS=1,
+        N_PSEUDOSHOTS=2,
+    )
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.fixed_iterative_train(train, val, unlabeled)
+    assert 0.0 <= acc <= 1.0
+    assert cfg.N_PSEUDOSHOTS == 2  # IFPL never grows the budget
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "trained_prompts" / "*iter_*"))) == 2
+
+
+def test_visual_fpl_training(tmp_path, mnist_fixture, tiny_runtime):
+    root, _ = mnist_fixture
+    cfg = _build_config(tmp_path, MODEL="visual_fpl", MODALITY="image")
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(VisualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.train(train, val, unlabeled, only_seen=False)
+    assert 0.0 <= acc <= 1.0
+    assert train.label_id is True
+
+
+def test_multimodal_fpl_training(tmp_path, mnist_fixture, tiny_runtime):
+    root, _ = mnist_fixture
+    cfg = _build_config(tmp_path, MODEL="multimodal_fpl", MODALITY="multi")
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(MultimodalStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.train(train, val, unlabeled, only_seen=False)
+    assert 0.0 <= acc <= 1.0
+    # multimodal SSL uses sqrt-balance (reference multimodal_fpl.py:107)
+    import math
+
+    n_pseudo = sum(strat._train_groups)
+    n_lab = len(strat._train_groups) - n_pseudo
+    assert strat._w0 == pytest.approx(math.sqrt(n_pseudo / n_lab))
+
+
+def test_model_dispatch_covers_all_reference_variants(tiny_runtime, tmp_path):
+    """Every MODEL name the reference drivers dispatch must build a strategy."""
+    from menghini_neurips23_tpu.runners.common import MODEL_DISPATCH, build_strategy
+
+    expected = {
+        "textual_prompt", "visual_prompt", "multimodal_prompt",
+        "textual_fpl", "visual_fpl", "multimodal_fpl",
+        "iterative_textual_fpl", "iterative_visual_fpl", "iterative_multimodal_fpl",
+        "grip_textual", "grip_visual", "grip_multimodal",
+    }
+    assert set(MODEL_DISPATCH) == expected
+    classes = ["a", "b"]
+    l2i = {"a": 0, "b": 1}
+    dc = {"classes": classes, "seen_classes": classes, "unseen_classes": classes}
+    for model in expected:
+        cfg = _build_config(tmp_path, MODEL=model)
+        strat, method = build_strategy(cfg, l2i, dc, "/tmp", runtime=tiny_runtime)
+        assert method in {"train", "train_fpl", "fixed_iterative_train", "grip_train"}
+        assert strat.MODALITY == cfg.MODALITY
