@@ -70,19 +70,46 @@ class ClipRuntime:
         self._dsh = data_sharding(self.mesh)
 
     # ------------------------------------------------------------------ jitted
+    def _folded_embed(self, params, images_u8):
+        """vision_embed with the CLIP normalization folded into the patch
+        matmul (ops/patch_embed.py): uint8 pixels feed the MXU directly."""
+        from menghini_neurips23_tpu.ops.patch_embed import folded_patch_tokens
+
+        p = params["params"]["visual"]
+        kf, bias = self._folded_kernel
+        x = folded_patch_tokens(
+            images_u8, kf, bias, self.arch.vision_patch_size, self.compute_dtype
+        )
+        B = x.shape[0]
+        cls = jnp.broadcast_to(
+            p["class_embedding"].astype(self.compute_dtype),
+            (B, 1, self.arch.vision_width),
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        return x + p["positional_embedding"].astype(self.compute_dtype)
+
+    @functools.cached_property
+    def _folded_kernel(self):
+        # plain numpy (NOT jnp): this property may be first evaluated inside a
+        # jit trace, and caching a traced constant would leak the tracer
+        from menghini_neurips23_tpu.ops.patch_embed import fold_normalization
+
+        return fold_normalization(
+            np.asarray(self.params["params"]["visual"]["conv1_kernel"])
+        )
+
     @functools.cached_property
     def _encode_images(self):
         def fn(params, images_u8):
-            x = normalize_images(images_u8, self.compute_dtype)
-            return self.model.apply(params, x, method="encode_image")
+            tokens = self._folded_embed(params, images_u8)
+            return self.model.apply(params, tokens, method="vision_encode_tokens")
 
         return jax.jit(fn, out_shardings=self._dsh)
 
     @functools.cached_property
     def _vision_embed(self):
         def fn(params, images_u8):
-            x = normalize_images(images_u8, self.compute_dtype)
-            return self.model.apply(params, x, method="vision_embed")
+            return self._folded_embed(params, images_u8)
 
         return jax.jit(fn, out_shardings=self._dsh)
 
