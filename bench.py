@@ -49,7 +49,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from menghini_neurips23_tpu.data.transforms import normalize_images
     from menghini_neurips23_tpu.models import VIT_B32, init_clip_params
     from menghini_neurips23_tpu.models.prompts import (
         build_prompt_token_ids,
@@ -59,9 +58,14 @@ def main():
     from menghini_neurips23_tpu.tokenizer import get_tokenizer
     from menghini_neurips23_tpu.training.losses import two_group_loss
 
+    from menghini_neurips23_tpu.ops.patch_embed import fold_normalization
+
     arch = VIT_B32
     model, params = init_clip_params(arch, seed=0, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
+    kf_np, kbias_np = fold_normalization(
+        np.asarray(params["params"]["visual"]["conv1_kernel"])
+    )
 
     tok = get_tokenizer(None)
     classes = [f"class {i}" for i in range(N_CLASSES)]
@@ -74,8 +78,18 @@ def main():
     n_steps = TRAIN_N // STEP_BATCH
 
     def _encode(params, u8):
-        x = normalize_images(u8, jnp.bfloat16)
-        f = model.apply(params, x, method="encode_image").astype(jnp.float32)
+        # normalization folded into the patch matmul (ops/patch_embed.py) -
+        # the framework's production encode path
+        from menghini_neurips23_tpu.ops.patch_embed import folded_patch_tokens
+
+        x = folded_patch_tokens(u8, kf_np, kbias_np, arch.vision_patch_size, jnp.bfloat16)
+        B = x.shape[0]
+        p = params["params"]["visual"]
+        cls = jnp.broadcast_to(
+            p["class_embedding"].astype(jnp.bfloat16), (B, 1, arch.vision_width)
+        )
+        tokens = jnp.concatenate([cls, x], axis=1) + p["positional_embedding"].astype(jnp.bfloat16)
+        f = model.apply(params, tokens, method="vision_encode_tokens").astype(jnp.float32)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     def _text_feats(params, prefix):
