@@ -252,3 +252,18 @@ def load_clip(path: str):
             arch, params = convert_state_dict(sd)
         return arch, CLIP(arch), params
     raise ValueError(f"Unsupported checkpoint format: {path}")
+
+
+if __name__ == "__main__":
+    # CLI: convert a torch CLIP checkpoint (OpenAI or HF layout) to .npz
+    #   python -m menghini_neurips23_tpu.models.convert in.pt out.npz
+    import sys
+
+    src, dst = sys.argv[1], sys.argv[2]
+    sd = load_torch_checkpoint(src)
+    if is_hf_state_dict(sd):
+        arch, params = convert_hf_state_dict(sd)
+    else:
+        arch, params = convert_state_dict(sd)
+    save_npz(params, dst)
+    print(f"converted {src} ({arch.name}) -> {dst}")
