@@ -139,6 +139,11 @@ class TrainingStrategy:
         accumulates grads of loss/accum and applies the update only when
         `apply` is set - the reference's manual accumulation
         (textual_prompt.py:130-135)."""
+        # one jit wrapper per strategy: a fresh wrapper per train() call would
+        # discard the compile cache across GRIP/IFPL iterations
+        cached = getattr(self, "_step_fn", None)
+        if cached is not None:
+            return cached
         logits_fn = self._logits_fn()
         cfg = self.config
         wd, momentum, accum = cfg.DECAY, cfg.MOMENTUM, cfg.ACCUMULATION_ITER
@@ -162,6 +167,7 @@ class TrainingStrategy:
             correct = ((logits.argmax(1) == labels) * valid).sum()
             return prompt, mom, gacc, loss * accum, correct
 
+        self._step_fn = step
         return step
 
     def _apply_step(self, step, class_ctx, lr, feats, labels, group, valid,
