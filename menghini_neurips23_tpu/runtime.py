@@ -134,15 +134,22 @@ class ClipRuntime:
 
     def _batched_pass(self, fn, filepaths, batch_size: Optional[int] = None, cache=None):
         """Run a jitted per-batch image fn over a file list; returns stacked np."""
+        import time
+
         bs = batch_size or max(self.cfg.BATCH_SIZE, 32)
         bs = int(np.ceil(bs / self._dp) * self._dp)  # shardable batch
         outs = []
+        t0 = time.perf_counter()
         for batch in iter_image_batches(
             filepaths, bs, self.arch.image_resolution, cache=cache
         ):
             imgs = jax.device_put(batch.images, self._dsh)
             out = np.asarray(fn(self.params, imgs), np.float32)
             outs.append(out[: batch.count])
+        n = len(filepaths)
+        if n >= 512:  # observability for the big pool passes
+            dt = time.perf_counter() - t0
+            log.info("batched pass: %d images in %.2fs (%.0f img/s)", n, dt, n / dt)
         return np.concatenate(outs, axis=0) if outs else np.empty((0,))
 
     def encode_images_from_files(
