@@ -142,9 +142,16 @@ def finish_workflow(cfg, model, optimal_prompt, test_dataset, test_files, test_l
 def main_template(workflow, argv=None, env=None):
     args = parse_args(argv)
     cfg = load_config(args, env=env)
-    setup_logging(cfg)
+    # validate cheap preconditions BEFORE any logging/device work (the first
+    # device touch can take a minute on a cold TPU claim)
+    if cfg.MODEL not in MODEL_DISPATCH and cfg.MODEL != "clip_baseline":
+        raise ValueError(
+            f"Unknown MODEL {cfg.MODEL!r}; known: clip_baseline, "
+            + ", ".join(sorted(MODEL_DISPATCH))
+        )
     if not Path(cfg.DATASET_DIR).exists():
         raise FileNotFoundError(f"`dataset_dir` does not exist: {cfg.DATASET_DIR}")
+    setup_logging(cfg)
     seed_everything(cfg)
     if cfg.PROFILE_DIR:
         # tracing/profiling subsystem (absent in the reference, SURVEY.md §5.1)
