@@ -66,6 +66,17 @@ def leaderboard_top_k(
             new_labels += [cid] * len(members)
         return new_imgs, new_labels
 
+    # Native C++ cascade (identical semantics, ~100x) for big pools.
+    from menghini_neurips23_tpu.data._native import get_leaderboard
+
+    native = get_leaderboard()
+    if native is not None and n * c >= 50_000:
+        probs32 = np.ascontiguousarray(probs, np.float32)
+        idx, cols = native.leaderboard(
+            probs32.tobytes(), list(filepaths), n, c, int(k)
+        )
+        return [filepaths[i] for i in idx], [class_ids[j] for j in cols]
+
     boards: Dict[int, List[Tuple[float, str]]] = {cid: [] for cid in class_ids}
     for i in range(n):
         pred_col = int(argmax[i])

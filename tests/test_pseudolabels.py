@@ -162,3 +162,49 @@ def test_fast_path_matches_sequential_when_no_overflow():
     fast = leaderboard_top_k(probs, paths, 60, class_ids)  # k >= n: no overflow
     seq = spec_leaderboard(probs, paths, 60, class_ids)
     assert fast == tuple(seq) or list(fast) == list(seq)
+
+
+def test_native_leaderboard_matches_python():
+    """The C++ cascade must be exactly equal to the Python implementation,
+    including overflow re-sorts and cross-class cascades."""
+    from menghini_neurips23_tpu.data._native import get_leaderboard
+
+    native = get_leaderboard()
+    if native is None:
+        pytest.skip("native leaderboard unavailable")
+    for seed, (n, c, k) in enumerate([(300, 5, 3), (500, 7, 10), (200, 3, 1)]):
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(size=(n, c)).astype(np.float32)
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        paths = [f"img_{i:05d}.jpg" for i in range(n)]
+        class_ids = [100 + j for j in range(c)]
+        # python path (force below native threshold by calling spec directly)
+        want = spec_leaderboard(probs, paths, k, class_ids)
+        idx, cols = native.leaderboard(
+            np.ascontiguousarray(probs).tobytes(), paths, n, c, k
+        )
+        got = ([paths[i] for i in idx], [class_ids[j] for j in cols])
+        assert got == tuple(want) or list(got) == list(want), (n, c, k)
+
+
+def test_native_leaderboard_speed():
+    """GRIP-scale pool: native path completes quickly and exactly."""
+    import time
+
+    from menghini_neurips23_tpu.data._native import get_leaderboard
+
+    native = get_leaderboard()
+    if native is None:
+        pytest.skip("native leaderboard unavailable")
+    rng = np.random.default_rng(0)
+    n, c, k = 20000, 45, 16
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    paths = [f"i{i:06d}" for i in range(n)]
+    t0 = time.perf_counter()
+    imgs, labs = leaderboard_top_k(probs, paths, k, list(range(c)))
+    dt = time.perf_counter() - t0
+    assert len(imgs) == len(labs) > 0
+    for cid in range(c):
+        assert labs.count(cid) <= k
+    assert dt < 5.0, f"native leaderboard too slow: {dt:.1f}s"

@@ -309,3 +309,57 @@ def test_hf_conversion_equals_openai_conversion(parity_setup):
     for p, v in leaves1:
         key = tuple(str(k) for k in p)
         np.testing.assert_array_equal(v, leaves2[key], err_msg=str(key))
+
+
+# ---------------------------------------------------------------------------
+# UPT mixer oracle: the reference projects coop/vpt prompts to a shared width,
+# stacks them on the SEQUENCE axis of a 1-layer clip-style transformer whose
+# batch axis is the prompt length, and projects back
+# (reference models/prompts_models.py:129-146).
+# ---------------------------------------------------------------------------
+def _mixer_to_torch_sd(mixer_params, width):
+    """Express our flax mixer weights as an OpenAI-style torch state dict."""
+    p = mixer_params["params"]
+    sd = {}
+    blk = p["transformer"]["resblocks_0"]
+    sd["mix.ln_1.weight"] = np.asarray(blk["ln_1"]["scale"])
+    sd["mix.ln_1.bias"] = np.asarray(blk["ln_1"]["bias"])
+    sd["mix.ln_2.weight"] = np.asarray(blk["ln_2"]["scale"])
+    sd["mix.ln_2.bias"] = np.asarray(blk["ln_2"]["bias"])
+    sd["mix.attn.in_proj_weight"] = np.asarray(blk["attn"]["in_proj_kernel"]).T
+    sd["mix.attn.in_proj_bias"] = np.asarray(blk["attn"]["in_proj_bias"])
+    sd["mix.attn.out_proj.weight"] = np.asarray(blk["attn"]["out_proj"]["kernel"]).T
+    sd["mix.attn.out_proj.bias"] = np.asarray(blk["attn"]["out_proj"]["bias"])
+    sd["mix.mlp.c_fc.weight"] = np.asarray(blk["c_fc"]["kernel"]).T
+    sd["mix.mlp.c_fc.bias"] = np.asarray(blk["c_fc"]["bias"])
+    sd["mix.mlp.c_proj.weight"] = np.asarray(blk["c_proj"]["kernel"]).T
+    sd["mix.mlp.c_proj.bias"] = np.asarray(blk["c_proj"]["bias"])
+    return sd, p
+
+
+def test_upt_mixer_matches_torch_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from menghini_neurips23_tpu.models.prompts import UPTMixer
+
+    rng = np.random.default_rng(3)
+    coop_dim, vpt_dim, dim, L = 32, 48, 16, 4
+    coop = rng.normal(0, 0.02, (L, coop_dim)).astype(np.float32)
+    vpt = rng.normal(0, 0.02, (L, vpt_dim)).astype(np.float32)
+    mixer = UPTMixer(coop_dim, vpt_dim, dim)
+    params = mixer.init(jax.random.PRNGKey(0), jnp.asarray(coop), jnp.asarray(vpt))
+    coop_o, vpt_o = mixer.apply(params, jnp.asarray(coop), jnp.asarray(vpt))
+
+    sd, p = _mixer_to_torch_sd(params, dim)
+    with torch.no_grad():
+        tc = torch.from_numpy(coop) @ torch.from_numpy(np.asarray(p["proj_coop_pre"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_coop_pre"]["bias"]))
+        tv = torch.from_numpy(vpt) @ torch.from_numpy(np.asarray(p["proj_vpt_pre"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_vpt_pre"]["bias"]))
+        # reference arrangement: sequence axis = [coop, vpt] modality slots,
+        # batch axis = prompt positions (LND layout for the torch block)
+        seq = torch.stack([tc, tv], dim=0)  # (2, L, dim)
+        out = _torch_block(seq, sd, "mix", 1, None)  # heads=1
+        oc = out[0] @ torch.from_numpy(np.asarray(p["proj_coop_post"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_coop_post"]["bias"]))
+        ov = out[1] @ torch.from_numpy(np.asarray(p["proj_vpt_post"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_vpt_post"]["bias"]))
+    np.testing.assert_allclose(np.asarray(coop_o), oc.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vpt_o), ov.numpy(), rtol=2e-4, atol=2e-5)
