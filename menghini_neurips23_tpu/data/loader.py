@@ -98,11 +98,12 @@ def iter_image_batches(
         np.asarray(labels, np.int32) if labels is not None else np.full(n, -1, np.int32)
     )
 
+    loader = ImageLoader(resolution, num_workers)
+
     def make_batch(idx: np.ndarray) -> Batch:
         if cache is not None:
             imgs = cache[idx]
         else:
-            loader = ImageLoader(resolution, num_workers)
             imgs = loader.load_all([filepaths[i] for i in idx])
         count = len(idx)
         return Batch(
