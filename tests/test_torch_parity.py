@@ -15,7 +15,6 @@ import torch.nn.functional as F
 from menghini_neurips23_tpu.models import TINY_TEST, convert_state_dict
 from menghini_neurips23_tpu.models.clip import CLIP
 
-from tests.test_clip_model import test_convert_state_dict_roundtrip  # noqa: F401
 
 
 def _make_state_dict(a, rng):
