@@ -476,16 +476,32 @@ class TrainingStrategy:
         """Shared host-side assembly for fused training: per-epoch shuffles,
         per-epoch lrs, padded batching, and validation arrays.  Permutations
         are drawn from self._rng exactly like the host loop, so fused and
-        per-step training see identical batch compositions."""
+        per-step training see identical batch compositions.
+
+        When `self._fused_bucket` is set (by the IFPL/GRIP driver), all
+        arrays are padded to that FIXED size so every iteration of the
+        growing-pseudolabel loop reuses one compiled program (SURVEY.md hard
+        part #4: pad to the full-pool size with a validity mask).  All-pad
+        batches are masked no-ops in the fused step."""
         cfg = self.config
         n = len(epoch)
         bs = self._batch_size()
-        steps = int(np.ceil(n / bs))
+        bucket = getattr(self, "_fused_bucket", None)
+        n_slot = max(n, bucket) if bucket else n
+        steps = int(np.ceil(n_slot / bs))
         pad_n = steps * bs
         perms = np.full((cfg.EPOCHS, pad_n), -1, np.int64)
         for e in range(cfg.EPOCHS):
             perms[e, :n] = self._rng.permutation(n)
         lrs = np.asarray([lr_for_epoch(cfg, e) for e in range(cfg.EPOCHS)], np.float32)
+        feats = epoch.features
+        labels = epoch.labels
+        groups = epoch.group
+        if n_slot > n:
+            padshape = (n_slot - n,) + feats.shape[1:]
+            feats = np.concatenate([feats, np.zeros(padshape, feats.dtype)])
+            labels = np.concatenate([labels, -np.ones(n_slot - n, np.int32)])
+            groups = np.concatenate([groups, np.zeros(n_slot - n, np.int32)])
 
         val_paths, val_labels, val_class_list = val
         val_feats = self._features_for_paths(val_paths)
@@ -500,6 +516,11 @@ class TrainingStrategy:
         return {
             "steps": steps,
             "bs": bs,
+            "n": n,
+            "n_slot": n_slot,
+            "feats": feats,
+            "labels": labels,
+            "groups": groups,
             "perms": perms,
             "lrs": lrs,
             "val_feats": val_feats,
@@ -603,6 +624,12 @@ class TrainingStrategy:
         original_unlabeled = copy.deepcopy(unlabeled_data)
         original_val = copy.deepcopy(val_data)
 
+        # Fixed-shape bucketing: pad every iteration's training set to the
+        # maximum possible size (full pool + labeled shots) so the fused
+        # training program compiles ONCE and is reused across all growing
+        # GRIP iterations (SURVEY.md hard part #4).
+        self._fused_bucket = pool_size + len(train_data.filepaths)
+
         best_overall = -1.0
         best_params = self.epoch_parameters()
         start_iter = 1
@@ -651,6 +678,7 @@ class TrainingStrategy:
             # restore the full pool for the next refresh (the engine mutates it)
             unlabeled_data = copy.deepcopy(original_unlabeled)
             train_data = copy.deepcopy(original_train)
+        self._fused_bucket = None
         return best_overall, best_params
 
     # -------------------------------------------------------------- inference

@@ -96,14 +96,14 @@ class TextualStrategy(TrainingStrategy):
         val_is_seen = np.isin(inp["val_labels"], inp["seen_ids"]).astype(np.float32)
 
         key = (
-            inp["steps"], inp["bs"], cfg.EPOCHS, len(epoch),
+            inp["steps"], inp["bs"], cfg.EPOCHS, inp["n_slot"],
             token_train.shape[0], token_val.shape[0], len(inp["val_labels"]),
             inp["trzsl_hmean"],
         )
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = self._build_fused_train(
-                inp["steps"], inp["bs"], len(epoch), inp["trzsl_hmean"]
+                inp["steps"], inp["bs"], inp["n_slot"], inp["trzsl_hmean"]
             )
             self._fused_cache[key] = fn
 
@@ -112,9 +112,9 @@ class TextualStrategy(TrainingStrategy):
             self.prefix,
             token_train,
             token_val,
-            jnp.asarray(epoch.features),
-            jnp.asarray(epoch.labels),
-            jnp.asarray(epoch.group),
+            jnp.asarray(inp["feats"]),
+            jnp.asarray(inp["labels"]),
+            jnp.asarray(inp["groups"]),
             jnp.asarray(inp["perms"]),
             jnp.asarray(inp["lrs"]),
             jnp.asarray(inp["val_feats"]),
@@ -123,6 +123,7 @@ class TextualStrategy(TrainingStrategy):
             jnp.asarray(val_is_seen),
             jnp.float32(self._w0),
             jnp.float32(self._w1),
+            jnp.float32(inp["n"]),
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
@@ -142,7 +143,7 @@ class TextualStrategy(TrainingStrategy):
         )
         return float(metrics[best]), [prefixes[best]]
 
-    def _build_fused_train(self, steps: int, bs: int, n: int, trzsl: bool):
+    def _build_fused_train(self, steps: int, bs: int, n_slot: int, trzsl: bool):
         model = self.runtime.model
         wd = self.config.DECAY
         momentum = self.config.MOMENTUM
@@ -150,7 +151,7 @@ class TextualStrategy(TrainingStrategy):
         @jax.jit
         def fused(clip_params, prefix0, token_train, token_val, feats, labels,
                   groups, perms, lrs, val_feats, val_labels, val_global,
-                  val_is_seen, w0, w1):
+                  val_is_seen, w0, w1, n_real):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
             emb_dim = feats.shape[1]
 
@@ -162,7 +163,7 @@ class TextualStrategy(TrainingStrategy):
             def epoch_fn(carry, xs):
                 prefix, mom = carry
                 perm, lr = xs
-                idx = jnp.clip(perm, 0, n - 1)
+                idx = jnp.clip(perm, 0, n_slot - 1)
                 fb = feats[idx].reshape(steps, bs, emb_dim)
                 lb = jnp.where(perm >= 0, labels[idx], -1).reshape(steps, bs)
                 gb = groups[idx].reshape(steps, bs)
@@ -179,9 +180,12 @@ class TextualStrategy(TrainingStrategy):
 
                     (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prefix)
                     g = g + wd * prefix
-                    mom_new = momentum * mom + g
+                    # all-pad batches (fixed-shape bucketing) are no-ops
+                    has_valid = v.sum() > 0
+                    mom_new = jnp.where(has_valid, momentum * mom + g, mom)
+                    prefix_new = jnp.where(has_valid, prefix - lr * mom_new, prefix)
                     correct = ((logits.argmax(1) == l) * v).sum()
-                    return (prefix - lr * mom_new, mom_new), (loss, correct)
+                    return (prefix_new, mom_new), (loss, correct)
 
                 (prefix, mom), (losses, corrects) = jax.lax.scan(
                     step, (prefix, mom), (fb, lb, gb, vb)
@@ -202,7 +206,7 @@ class TextualStrategy(TrainingStrategy):
                     )
                 else:
                     metric = correct_v.mean()
-                train_acc = corrects.sum() / n
+                train_acc = corrects.sum() / n_real
                 return (prefix, mom), (metric, prefix, train_acc, losses[-1])
 
             carry0 = (prefix0, jnp.zeros_like(prefix0))

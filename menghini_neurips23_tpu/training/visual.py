@@ -123,14 +123,14 @@ class VisualStrategy(TrainingStrategy):
         val_is_seen = np.isin(inp["val_labels"], inp["seen_ids"]).astype(np.float32)
 
         key = (
-            inp["steps"], inp["bs"], cfg.EPOCHS, len(epoch),
+            inp["steps"], inp["bs"], cfg.EPOCHS, inp["n_slot"],
             text_train.shape[0], text_val.shape[0], len(inp["val_labels"]),
             inp["trzsl_hmean"], "deep" in self.prompt,
         )
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = self._build_fused_train(
-                inp["steps"], inp["bs"], len(epoch), inp["trzsl_hmean"]
+                inp["steps"], inp["bs"], inp["n_slot"], inp["trzsl_hmean"]
             )
             self._fused_cache[key] = fn
 
@@ -139,9 +139,9 @@ class VisualStrategy(TrainingStrategy):
             self.prompt,
             text_train,
             text_val,
-            jnp.asarray(epoch.features),
-            jnp.asarray(epoch.labels),
-            jnp.asarray(epoch.group),
+            jnp.asarray(inp["feats"]),
+            jnp.asarray(inp["labels"]),
+            jnp.asarray(inp["groups"]),
             jnp.asarray(inp["perms"]),
             jnp.asarray(inp["lrs"]),
             jnp.asarray(inp["val_feats"]),
@@ -150,6 +150,7 @@ class VisualStrategy(TrainingStrategy):
             jnp.asarray(val_is_seen),
             jnp.float32(self._w0),
             jnp.float32(self._w1),
+            jnp.float32(inp["n"]),
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
@@ -169,7 +170,7 @@ class VisualStrategy(TrainingStrategy):
         )
         return float(metrics[best]), out
 
-    def _build_fused_train(self, steps: int, bs: int, n: int, trzsl: bool):
+    def _build_fused_train(self, steps: int, bs: int, n_slot: int, trzsl: bool):
         model = self.runtime.model
         wd = self.config.DECAY
         momentum = self.config.MOMENTUM
@@ -177,7 +178,7 @@ class VisualStrategy(TrainingStrategy):
         @jax.jit
         def fused(clip_params, prompt0, text_train, text_val, tokens, labels,
                   groups, perms, lrs, val_tokens, val_labels, val_global,
-                  val_is_seen, w0, w1):
+                  val_is_seen, w0, w1, n_real):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
 
             def img_feats(prompt, toks):
@@ -191,7 +192,7 @@ class VisualStrategy(TrainingStrategy):
             def epoch_fn(carry, xs):
                 prompt, mom = carry
                 perm, lr = xs
-                idx = jnp.clip(perm, 0, n - 1)
+                idx = jnp.clip(perm, 0, n_slot - 1)
                 tb = tokens[idx].reshape((steps, bs) + tokens.shape[1:])
                 lb = jnp.where(perm >= 0, labels[idx], -1).reshape(steps, bs)
                 gb = groups[idx].reshape(steps, bs)
@@ -207,8 +208,14 @@ class VisualStrategy(TrainingStrategy):
 
                     (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prompt)
                     g = jax.tree.map(lambda gg, p: gg + wd * p, g, prompt)
-                    mom_new = jax.tree.map(lambda m, gg: momentum * m + gg, mom, g)
-                    prompt_new = jax.tree.map(lambda p, m: p - lr * m, prompt, mom_new)
+                    # all-pad batches (fixed-shape bucketing) are no-ops
+                    has_valid = v.sum() > 0
+                    mom_new = jax.tree.map(
+                        lambda m, gg: jnp.where(has_valid, momentum * m + gg, m), mom, g
+                    )
+                    prompt_new = jax.tree.map(
+                        lambda p, m: jnp.where(has_valid, p - lr * m, p), prompt, mom_new
+                    )
                     correct = ((logits.argmax(1) == l) * v).sum()
                     return (prompt_new, mom_new), (loss, correct)
 
@@ -229,7 +236,7 @@ class VisualStrategy(TrainingStrategy):
                     )
                 else:
                     metric = correct_v.mean()
-                train_acc = corrects.sum() / n
+                train_acc = corrects.sum() / n_real
                 return (prompt, mom), (metric, prompt, train_acc, losses[-1])
 
             mom0 = jax.tree.map(jnp.zeros_like, prompt0)

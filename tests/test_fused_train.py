@@ -127,3 +127,43 @@ def test_multimodal_fused_equals_loop(tmp_path, mnist_fixture, tiny_runtime):
     assert acc_f == pytest.approx(acc_l, abs=1e-6)
     np.testing.assert_allclose(p_f[5], p_l[5], rtol=5e-4, atol=1e-6)  # coop
     np.testing.assert_allclose(p_f[7], p_l[7], rtol=5e-4, atol=1e-6)  # vpt
+
+
+def test_grip_fused_bucket_single_compile(tmp_path, mnist_fixture, tiny_runtime):
+    """GRIP iterations with growing training sets must reuse ONE fused
+    program (fixed-shape bucketing), and bucketed training must equal the
+    unbucketed host-visible behavior."""
+    from menghini_neurips23_tpu.training import TextualStrategy
+
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=2,
+        N_PSEUDOSHOTS=2, RESUME=False, CHECKPOINT_ITER=False,
+    )
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.grip_train(train, val, unlabeled)
+    assert 0.0 <= acc <= 1.0
+    # 2 GRIP iterations with different train sizes -> ONE fused-cache entry
+    assert len(strat._fused_cache) == 1, list(strat._fused_cache)
+    assert strat._fused_bucket is None  # cleared after the loop
+
+
+def test_bucketed_fused_equals_unbucketed(tmp_path, mnist_fixture, tiny_runtime):
+    """Padding the training set to a larger fixed slot must not change the
+    result: all-pad batches are gated no-ops."""
+    from menghini_neurips23_tpu.training import TextualStrategy
+
+    results = {}
+    root, _ = mnist_fixture
+    for bucket in (None, 64):
+        cfg = _build_config(
+            tmp_path / f"b{bucket}", MODEL="textual_prompt", EPOCHS=3
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        strat._fused_bucket = bucket
+        acc, params = strat.train(train, val, only_seen=True)
+        results[bucket] = (acc, params[0])
+    assert results[None][0] == pytest.approx(results[64][0], abs=1e-6)
+    np.testing.assert_allclose(results[None][1], results[64][1], rtol=1e-5, atol=1e-7)
