@@ -227,18 +227,20 @@ class MultimodalStrategy(TrainingStrategy):
                 tf_v, img_v = features(upt, ids_val, val_tokens)
                 vpred = (img_v @ tf_v.T).argmax(1)
                 correct_v = (val_global[vpred] == val_labels).astype(jnp.float32)
-                if trzsl:
-                    from menghini_neurips23_tpu.training.losses import masked_mean
+                # padded validation rows (fixed-shape bucketing) carry label -1
+                val_valid = (val_labels >= 0).astype(jnp.float32)
+                from menghini_neurips23_tpu.training.losses import masked_mean
 
-                    acc_s = masked_mean(correct_v, val_is_seen)
-                    acc_u = masked_mean(correct_v, 1.0 - val_is_seen)
+                if trzsl:
+                    acc_s = masked_mean(correct_v, val_is_seen * val_valid)
+                    acc_u = masked_mean(correct_v, (1.0 - val_is_seen) * val_valid)
                     metric = jnp.where(
                         (acc_s > 0) & (acc_u > 0),
                         2.0 * acc_s * acc_u / jnp.maximum(acc_s + acc_u, 1e-12),
                         0.0,
                     )
                 else:
-                    metric = correct_v.mean()
+                    metric = masked_mean(correct_v, val_valid)
                 train_acc = corrects.sum() / n_real
                 return (upt, mom), (metric, upt, train_acc, losses[-1])
 

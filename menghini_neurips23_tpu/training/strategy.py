@@ -505,6 +505,17 @@ class TrainingStrategy:
 
         val_paths, val_labels, val_class_list = val
         val_feats = self._features_for_paths(val_paths)
+        val_labels = np.asarray(val_labels, np.int32)
+        # bucket validation too: the FPL pseudo-val split grows with the GRIP
+        # schedule, and a changing val shape would force recompiles; padded
+        # rows carry label -1 and are masked out of the metric
+        val_bucket = getattr(self, "_fused_val_bucket", None)
+        if bucket and val_bucket and val_bucket > len(val_labels):
+            extra = val_bucket - len(val_labels)
+            val_feats = np.concatenate(
+                [val_feats, np.zeros((extra,) + val_feats.shape[1:], val_feats.dtype)]
+            )
+            val_labels = np.concatenate([val_labels, -np.ones(extra, np.int32)])
         # map val-class argmax -> global label id (host lut baked into the jit)
         val_global = np.asarray(
             [self.label_to_idx[c] for c in val_class_list], np.int32
@@ -627,8 +638,11 @@ class TrainingStrategy:
         # Fixed-shape bucketing: pad every iteration's training set to the
         # maximum possible size (full pool + labeled shots) so the fused
         # training program compiles ONCE and is reused across all growing
-        # GRIP iterations (SURVEY.md hard part #4).
+        # GRIP iterations (SURVEY.md hard part #4).  Validation gets a fixed
+        # slot too (its pseudo-val share grows with the schedule).
         self._fused_bucket = pool_size + len(train_data.filepaths)
+        max_pseudo_val = pool_size - int(pool_size * cfg.ratio_train_val)
+        self._fused_val_bucket = len(val_data.filepaths) + max_pseudo_val + 1
 
         best_overall = -1.0
         best_params = self.epoch_parameters()
@@ -679,6 +693,7 @@ class TrainingStrategy:
             unlabeled_data = copy.deepcopy(original_unlabeled)
             train_data = copy.deepcopy(original_train)
         self._fused_bucket = None
+        self._fused_val_bucket = None
         return best_overall, best_params
 
     # -------------------------------------------------------------- inference

@@ -167,3 +167,36 @@ def test_bucketed_fused_equals_unbucketed(tmp_path, mnist_fixture, tiny_runtime)
         results[bucket] = (acc, params[0])
     assert results[None][0] == pytest.approx(results[64][0], abs=1e-6)
     np.testing.assert_allclose(results[None][1], results[64][1], rtol=1e-5, atol=1e-7)
+
+
+def test_grip_single_compile_with_growing_pseudo_val(tmp_path, tiny_runtime, tmp_path_factory):
+    """With N_PSEUDOSHOTS >= 10 the pseudo-val split grows across GRIP
+    iterations; validation bucketing must keep it to ONE compiled program."""
+    from tests.conftest import make_mnist_fixture
+    from menghini_neurips23_tpu.data import dataset_object, sample_few_shots
+    from menghini_neurips23_tpu.training import TextualStrategy
+
+    root = tmp_path_factory.mktemp("bigdata") / "MNIST"
+    make_mnist_fixture(root, n_per_class=25)
+    classes = ["0", "1", "2"]
+    l2i = {c: i for i, c in enumerate(classes)}
+    DS = dataset_object("MNIST")
+    files = [f"train/{c}/img{i}.png" for c in classes for i in range(25)]
+    labs = [c for c in classes for _ in range(25)]
+    few_f, few_l = sample_few_shots(files, labs, classes, 2, seed=0)
+    rest = [f for f in files if f not in few_f]
+    train = DS(few_f[:4], str(root), train=True, labels=few_l[:4], label_map=l2i)
+    val = DS(few_f[4:], str(root), train=True, labels=few_l[4:], label_map=l2i)
+    unlabeled = DS(rest, str(root), train=True, labels=None, label_map=l2i)
+    cfg = _build_config(
+        tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=1,
+        RESUME=False, CHECKPOINT_ITER=False,
+    )
+    strat = TextualStrategy(
+        cfg, l2i, classes, classes, classes, data_folder=str(root),
+        unlabeled_files=[f.split("/")[-1] for f in unlabeled.filepaths],
+        runtime=tiny_runtime,
+    )
+    acc, params = strat.grip_train(train, val, unlabeled)
+    assert strat.val_unseen_files is not None  # pseudo-val was active
+    assert len(strat._fused_cache) == 1, list(strat._fused_cache)
