@@ -165,6 +165,7 @@ class MultimodalStrategy(TrainingStrategy):
         mixer = self.mixer
         wd = self.config.DECAY
         momentum = self.config.MOMENTUM
+        remat = self.config.FUSED_REMAT
 
         @jax.jit
         def fused(clip_params, upt0, ids_train, ids_val, tokens, labels,
@@ -187,6 +188,9 @@ class MultimodalStrategy(TrainingStrategy):
                 img = img.astype(jnp.float32)
                 img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
                 return tf, img
+
+            if remat:
+                features = jax.checkpoint(features, static_argnums=())
 
             def epoch_fn(carry, xs):
                 upt, mom = carry

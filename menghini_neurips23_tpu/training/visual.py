@@ -174,6 +174,7 @@ class VisualStrategy(TrainingStrategy):
         model = self.runtime.model
         wd = self.config.DECAY
         momentum = self.config.MOMENTUM
+        remat = self.config.FUSED_REMAT
 
         @jax.jit
         def fused(clip_params, prompt0, text_train, text_val, tokens, labels,
@@ -188,6 +189,11 @@ class VisualStrategy(TrainingStrategy):
                 )
                 img = img.astype(jnp.float32)
                 return img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+
+            if remat:
+                # rematerialize the vision tower in the backward pass
+                # (jax.checkpoint): trades FLOPs for activation memory
+                img_feats = jax.checkpoint(img_feats)
 
             def epoch_fn(carry, xs):
                 prompt, mom = carry

@@ -200,3 +200,22 @@ def test_grip_single_compile_with_growing_pseudo_val(tmp_path, tiny_runtime, tmp
     acc, params = strat.grip_train(train, val, unlabeled)
     assert strat.val_unseen_files is not None  # pseudo-val was active
     assert len(strat._fused_cache) == 1, list(strat._fused_cache)
+
+
+def test_visual_fused_remat_equivalent(tmp_path, mnist_fixture, tiny_runtime):
+    """FUSED_REMAT (jax.checkpoint on the vision tower) must not change results."""
+    from menghini_neurips23_tpu.training import VisualStrategy
+
+    results = {}
+    root, _ = mnist_fixture
+    for remat in (False, True):
+        cfg = _build_config(
+            tmp_path / f"r{remat}", MODEL="visual_prompt", MODALITY="image",
+            FUSED_TRAIN=True, FUSED_REMAT=remat, EPOCHS=2,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(VisualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[remat] = (acc, params[0])
+    assert results[False][0] == pytest.approx(results[True][0], abs=1e-6)
+    np.testing.assert_allclose(results[False][1], results[True][1], rtol=1e-5, atol=1e-7)
