@@ -92,6 +92,7 @@ class Config:
     PSEUDO_TOPK: str = "exact"  # exact (reference leaderboard) | device (lax.top_k fast path)
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)
+    FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     BPE_PATH: str = ""  # path to CLIP bpe_simple_vocab_16e6.txt.gz (optional)

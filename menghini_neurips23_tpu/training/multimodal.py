@@ -124,23 +124,26 @@ class MultimodalStrategy(TrainingStrategy):
             )
             self._fused_cache[key] = fn
 
-        metrics, prompts, train_accs, losses = fn(
-            self.runtime.params,
-            self.upt_params,
-            ids_train,
-            ids_val,
-            jnp.asarray(inp["feats"]),
-            jnp.asarray(inp["labels"]),
-            jnp.asarray(inp["groups"]),
-            jnp.asarray(inp["perms"]),
-            jnp.asarray(inp["lrs"]),
-            jnp.asarray(inp["val_feats"]),
-            jnp.asarray(inp["val_labels"]),
-            jnp.asarray(inp["val_global"]),
-            jnp.asarray(val_is_seen),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-            jnp.float32(inp["n"]),
+        feats_d = jnp.asarray(inp["feats"])
+        labels_d = jnp.asarray(inp["labels"])
+        groups_d = jnp.asarray(inp["groups"])
+        vals = (
+            jnp.asarray(inp["val_feats"]), jnp.asarray(inp["val_labels"]),
+            jnp.asarray(inp["val_global"]), jnp.asarray(val_is_seen),
+        )
+
+        def call(perms_c, lrs_c, prompt, mom):
+            return fn(
+                self.runtime.params, prompt, ids_train, ids_val,
+                feats_d, labels_d, groups_d,
+                jnp.asarray(perms_c), jnp.asarray(lrs_c), *vals,
+                jnp.float32(self._w0), jnp.float32(self._w1),
+                jnp.float32(inp["n"]), mom,
+            )
+
+        metrics, prompts, train_accs, losses = self._fused_chunked_call(
+            call, self.upt_params, jax.tree.map(jnp.zeros_like, self.upt_params),
+            inp["perms"], inp["lrs"], cfg.EPOCHS,
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
@@ -170,7 +173,7 @@ class MultimodalStrategy(TrainingStrategy):
         @jax.jit
         def fused(clip_params, upt0, ids_train, ids_val, tokens, labels,
                   groups, perms, lrs, val_tokens, val_labels, val_global,
-                  val_is_seen, w0, w1, n_real):
+                  val_is_seen, w0, w1, n_real, mom0):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
 
             def features(upt_params, ids, toks):
@@ -248,9 +251,8 @@ class MultimodalStrategy(TrainingStrategy):
                 train_acc = corrects.sum() / n_real
                 return (upt, mom), (metric, upt, train_acc, losses[-1])
 
-            mom0 = jax.tree.map(jnp.zeros_like, upt0)
-            (_, _), outs = jax.lax.scan(epoch_fn, (upt0, mom0), (perms, lrs))
-            return outs
+            (pf, mf), outs = jax.lax.scan(epoch_fn, (upt0, mom0), (perms, lrs))
+            return outs, pf, mf
 
         return fused
 

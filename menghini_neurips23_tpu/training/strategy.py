@@ -542,6 +542,35 @@ class TrainingStrategy:
             "seen_ids": seen_ids,
         }
 
+    def _fused_chunked_call(self, call, prompt0, mom0, perms, lrs, epochs: int):
+        """Run fused training either as one program or as FUSED_EPOCH_CHUNK-
+        epoch programs chained by the (prompt, momentum) carry - bounding
+        compile time / program size with exact semantics (pad epochs carry
+        all-pad permutations, which are gated no-ops, and are trimmed from
+        the outputs).
+
+        :param call: (perms_chunk, lrs_chunk, prompt, mom) ->
+            (per-epoch outputs pytree, final_prompt, final_mom)
+        """
+        chunk = self.config.FUSED_EPOCH_CHUNK
+        if chunk <= 0 or chunk >= epochs:
+            outs, _, _ = call(perms, lrs, prompt0, mom0)
+            return jax.tree.map(np.asarray, outs)
+        pad = (-epochs) % chunk
+        if pad:
+            perms = np.concatenate(
+                [perms, -np.ones((pad, perms.shape[1]), perms.dtype)]
+            )
+            lrs = np.concatenate([lrs, np.zeros(pad, lrs.dtype)])
+        prompt, mom = prompt0, mom0
+        outs_list = []
+        for s in range(0, epochs + pad, chunk):
+            outs, prompt, mom = call(perms[s : s + chunk], lrs[s : s + chunk], prompt, mom)
+            outs_list.append(jax.tree.map(np.asarray, outs))
+        return jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0)[:epochs], *outs_list
+        )
+
     # ------------------------------------------------------------ validation
     def _run_validation(self, val) -> float:
         paths, labels, class_list = val

@@ -107,23 +107,26 @@ class TextualStrategy(TrainingStrategy):
             )
             self._fused_cache[key] = fn
 
-        metrics, prefixes, train_accs, losses = fn(
-            self.runtime.params,
-            self.prefix,
-            token_train,
-            token_val,
-            jnp.asarray(inp["feats"]),
-            jnp.asarray(inp["labels"]),
-            jnp.asarray(inp["groups"]),
-            jnp.asarray(inp["perms"]),
-            jnp.asarray(inp["lrs"]),
-            jnp.asarray(inp["val_feats"]),
-            jnp.asarray(inp["val_labels"]),
-            jnp.asarray(inp["val_global"]),
-            jnp.asarray(val_is_seen),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-            jnp.float32(inp["n"]),
+        feats_d = jnp.asarray(inp["feats"])
+        labels_d = jnp.asarray(inp["labels"])
+        groups_d = jnp.asarray(inp["groups"])
+        vals = (
+            jnp.asarray(inp["val_feats"]), jnp.asarray(inp["val_labels"]),
+            jnp.asarray(inp["val_global"]), jnp.asarray(val_is_seen),
+        )
+
+        def call(perms_c, lrs_c, prompt, mom):
+            return fn(
+                self.runtime.params, prompt, token_train, token_val,
+                feats_d, labels_d, groups_d,
+                jnp.asarray(perms_c), jnp.asarray(lrs_c), *vals,
+                jnp.float32(self._w0), jnp.float32(self._w1),
+                jnp.float32(inp["n"]), mom,
+            )
+
+        metrics, prefixes, train_accs, losses = self._fused_chunked_call(
+            call, self.prefix, jnp.zeros_like(self.prefix),
+            inp["perms"], inp["lrs"], cfg.EPOCHS,
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
@@ -151,7 +154,7 @@ class TextualStrategy(TrainingStrategy):
         @jax.jit
         def fused(clip_params, prefix0, token_train, token_val, feats, labels,
                   groups, perms, lrs, val_feats, val_labels, val_global,
-                  val_is_seen, w0, w1, n_real):
+                  val_is_seen, w0, w1, n_real, mom0):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
             emb_dim = feats.shape[1]
 
@@ -211,9 +214,9 @@ class TextualStrategy(TrainingStrategy):
                 train_acc = corrects.sum() / n_real
                 return (prefix, mom), (metric, prefix, train_acc, losses[-1])
 
-            carry0 = (prefix0, jnp.zeros_like(prefix0))
-            (_, _), outs = jax.lax.scan(epoch_fn, carry0, (perms, lrs))
-            return outs
+            carry0 = (prefix0, mom0)
+            (pf, mf), outs = jax.lax.scan(epoch_fn, carry0, (perms, lrs))
+            return outs, pf, mf
 
         return fused
 

@@ -134,23 +134,27 @@ class VisualStrategy(TrainingStrategy):
             )
             self._fused_cache[key] = fn
 
-        metrics, prompts, train_accs, losses = fn(
-            self.runtime.params,
-            self.prompt,
-            text_train,
-            text_val,
-            jnp.asarray(inp["feats"]),
-            jnp.asarray(inp["labels"]),
-            jnp.asarray(inp["groups"]),
-            jnp.asarray(inp["perms"]),
-            jnp.asarray(inp["lrs"]),
-            jnp.asarray(inp["val_feats"]),
-            jnp.asarray(inp["val_labels"]),
-            jnp.asarray(inp["val_global"]),
-            jnp.asarray(val_is_seen),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
-            jnp.float32(inp["n"]),
+        feats_d = jnp.asarray(inp["feats"])
+        labels_d = jnp.asarray(inp["labels"])
+        groups_d = jnp.asarray(inp["groups"])
+        vals = (
+            jnp.asarray(inp["val_feats"]), jnp.asarray(inp["val_labels"]),
+            jnp.asarray(inp["val_global"]), jnp.asarray(val_is_seen),
+        )
+
+        def call(perms_c, lrs_c, prompt, mom):
+            return fn(
+                self.runtime.params, prompt, text_train, text_val,
+                feats_d, labels_d, groups_d,
+                jnp.asarray(perms_c), jnp.asarray(lrs_c), *vals,
+                jnp.float32(self._w0), jnp.float32(self._w1),
+                jnp.float32(inp["n"]), mom,
+            )
+
+        import jax as _jax
+        metrics, prompts, train_accs, losses = self._fused_chunked_call(
+            call, self.prompt, _jax.tree.map(jnp.zeros_like, self.prompt),
+            inp["perms"], inp["lrs"], cfg.EPOCHS,
         )
         metrics = np.asarray(metrics)
         best = int(np.argmax(metrics))
@@ -179,7 +183,7 @@ class VisualStrategy(TrainingStrategy):
         @jax.jit
         def fused(clip_params, prompt0, text_train, text_val, tokens, labels,
                   groups, perms, lrs, val_tokens, val_labels, val_global,
-                  val_is_seen, w0, w1, n_real):
+                  val_is_seen, w0, w1, n_real, mom0):
             scale = jnp.exp(clip_params["params"]["logit_scale"])
 
             def img_feats(prompt, toks):
@@ -247,9 +251,8 @@ class VisualStrategy(TrainingStrategy):
                 train_acc = corrects.sum() / n_real
                 return (prompt, mom), (metric, prompt, train_acc, losses[-1])
 
-            mom0 = jax.tree.map(jnp.zeros_like, prompt0)
-            (_, _), outs = jax.lax.scan(epoch_fn, (prompt0, mom0), (perms, lrs))
-            return outs
+            (pf, mf), outs = jax.lax.scan(epoch_fn, (prompt0, mom0), (perms, lrs))
+            return outs, pf, mf
 
         return fused
 

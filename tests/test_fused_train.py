@@ -219,3 +219,41 @@ def test_visual_fused_remat_equivalent(tmp_path, mnist_fixture, tiny_runtime):
         results[remat] = (acc, params[0])
     assert results[False][0] == pytest.approx(results[True][0], abs=1e-6)
     np.testing.assert_allclose(results[False][1], results[True][1], rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("chunk", [1, 2])
+def test_epoch_chunking_equivalent(tmp_path, mnist_fixture, tiny_runtime, chunk):
+    """FUSED_EPOCH_CHUNK must not change results: chunked programs chain the
+    (prompt, momentum) carry and pad epochs are gated no-ops."""
+    results = {}
+    root, _ = mnist_fixture
+    for c in (0, chunk):
+        cfg = _build_config(
+            tmp_path / f"c{c}", MODEL="textual_prompt",
+            FUSED_TRAIN=True, FUSED_EPOCH_CHUNK=c, EPOCHS=3, MOMENTUM=0.9,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[c] = (acc, params[0], np.asarray(strat.prefix))
+    assert results[0][0] == pytest.approx(results[chunk][0], abs=1e-6)
+    np.testing.assert_allclose(results[0][1], results[chunk][1], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(results[0][2], results[chunk][2], rtol=1e-5, atol=1e-7)
+
+
+def test_epoch_chunking_visual(tmp_path, mnist_fixture, tiny_runtime):
+    from menghini_neurips23_tpu.training import VisualStrategy
+
+    results = {}
+    root, _ = mnist_fixture
+    for c in (0, 2):
+        cfg = _build_config(
+            tmp_path / f"vc{c}", MODEL="visual_prompt", MODALITY="image",
+            FUSED_TRAIN=True, FUSED_EPOCH_CHUNK=c, EPOCHS=3,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(VisualStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[c] = (acc, params[0])
+    assert results[0][0] == pytest.approx(results[2][0], abs=1e-6)
+    np.testing.assert_allclose(results[0][1], results[2][1], rtol=1e-5, atol=1e-7)
