@@ -257,3 +257,37 @@ def test_epoch_chunking_visual(tmp_path, mnist_fixture, tiny_runtime):
         results[c] = (acc, params[0])
     assert results[0][0] == pytest.approx(results[2][0], abs=1e-6)
     np.testing.assert_allclose(results[0][1], results[2][1], rtol=1e-5, atol=1e-7)
+
+
+def test_grip_with_bucketing_and_chunking(tmp_path, mnist_fixture, tiny_runtime):
+    """Fixed-shape bucketing and epoch chunking compose inside GRIP."""
+    from menghini_neurips23_tpu.training import TextualStrategy
+
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=3,
+        FUSED_EPOCH_CHUNK=2, N_PSEUDOSHOTS=2, RESUME=False, CHECKPOINT_ITER=False,
+    )
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
+    acc, params = strat.grip_train(train, val, unlabeled)
+    assert 0.0 <= acc <= 1.0
+    assert len(strat._fused_cache) == 1  # chunk shape identical across iters
+
+
+def test_epoch_chunking_multimodal(tmp_path, mnist_fixture, tiny_runtime):
+    from menghini_neurips23_tpu.training import MultimodalStrategy
+
+    results = {}
+    root, _ = mnist_fixture
+    for c in (0, 2):
+        cfg = _build_config(
+            tmp_path / f"mc{c}", MODEL="multimodal_prompt", MODALITY="multi",
+            FUSED_TRAIN=True, FUSED_EPOCH_CHUNK=c, EPOCHS=3,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(MultimodalStrategy, cfg, classes, l2i, tiny_runtime, root)
+        acc, params = strat.train(train, val, only_seen=True)
+        results[c] = (acc, params[5])  # coop embeddings
+    assert results[0][0] == pytest.approx(results[2][0], abs=1e-6)
+    np.testing.assert_allclose(results[0][1], results[2][1], rtol=1e-5, atol=1e-7)
