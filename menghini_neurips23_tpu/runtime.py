@@ -21,14 +21,12 @@ import numpy as np
 
 from menghini_neurips23_tpu.config import Config
 from menghini_neurips23_tpu.data.loader import iter_image_batches
-from menghini_neurips23_tpu.data.transforms import normalize_images
 from menghini_neurips23_tpu.models import CLIP, get_arch, init_clip_params, load_clip
 from menghini_neurips23_tpu.parallel import (
     clip_param_sharding,
     data_parallelism,
     data_sharding,
     mesh_from_config,
-    pad_to_multiple,
 )
 
 log = logging.getLogger(__name__)
@@ -50,7 +48,6 @@ class ClipRuntime:
             arch = get_arch(cfg.VIS_ENCODER)
             self.arch = arch
             self.model, self.params = init_clip_params(arch, seed=0, dtype=dtype)
-            self.model = CLIP(arch, dtype=dtype)
             if arch.name != "tiny-test":
                 log.warning(
                     "No CLIP_CKPT given - using RANDOM %s weights (throughput "
