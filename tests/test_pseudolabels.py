@@ -208,3 +208,26 @@ def test_native_leaderboard_speed():
     for cid in range(c):
         assert labs.count(cid) <= k
     assert dt < 5.0, f"native leaderboard too slow: {dt:.1f}s"
+
+
+def test_native_leaderboard_tie_breaks():
+    """Quantized probabilities force score ties; the C++ path must replicate
+    Python's (score, path-string) and (score, column) tie-breaking exactly."""
+    from menghini_neurips23_tpu.data._native import get_leaderboard
+
+    native = get_leaderboard()
+    if native is None:
+        pytest.skip("native leaderboard unavailable")
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n, c, k = 120, 4, 2
+        # coarse quantization -> many exact ties across rows and columns
+        probs = (rng.integers(0, 4, (n, c)).astype(np.float32) + 1) / 10.0
+        paths = [f"p{rng.integers(0, 10**6):06d}_{i}" for i in range(n)]
+        class_ids = list(range(c))
+        want = spec_leaderboard(probs, paths, k, class_ids)
+        idx, cols = native.leaderboard(
+            np.ascontiguousarray(probs).tobytes(), paths, n, c, k
+        )
+        got = ([paths[i] for i in idx], [class_ids[j] for j in cols])
+        assert list(got) == list(want), seed

@@ -69,3 +69,29 @@ def test_lowercase_and_whitespace_cleaning():
     np.testing.assert_array_equal(
         tok.tokenize("A   Photo\tof a DOG"), tok.tokenize("a photo of a dog")
     )
+
+
+def test_roundtrip_fuzz():
+    """Byte-level fallback must roundtrip arbitrary printable ASCII.  CLIP's
+    token pattern splits every digit into its own token ([\p{N}]) and decode
+    re-inserts word boundaries, so comparison ignores spacing (content must
+    be preserved exactly); pure-letter strings roundtrip with spacing too."""
+    import random
+
+    tok = ClipTokenizer(None)
+    rng = random.Random(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,!?-_/()'"
+    for _ in range(50):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        norm = " ".join(s.lower().split())
+        if not norm:
+            continue
+        out = tok.decode(tok.encode(s))
+        assert out.replace(" ", "") == norm.replace(" ", ""), (s, out)
+    for _ in range(20):
+        s = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(rng.randint(1, 30)))
+        norm = " ".join(s.split())
+        if not norm:
+            continue
+        out = tok.decode(tok.encode(s)).strip()
+        assert " ".join(out.split()) == norm, (s, out)
