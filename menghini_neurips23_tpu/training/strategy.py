@@ -455,10 +455,192 @@ class TrainingStrategy:
         return (total_correct / max(1, total)), float(loss_val)
 
     def _fused_train(self, epoch: EpochData, val, train_classes):
-        """Optional modality hook: run the ENTIRE epoch loop (train steps +
-        per-epoch validation + best-val selection inputs) as one jitted
-        program; return (best_acc, best_params) or None to use the host loop."""
-        return None
+        """Run the ENTIRE training (all epochs of fused steps + per-epoch
+        validation) as one jitted lax.scan program; return (best_acc,
+        best_params), or None to fall back to the dispatch-per-step host loop.
+
+        This is the TPU-native shape of the reference's 150-epoch host loop:
+        one dispatch instead of epochs x steps dispatches, zero per-batch host
+        sync, with per-epoch prompt snapshots and validation metrics coming
+        back as arrays for host-side best-checkpoint selection.  Batch
+        composition, lr schedule, loss, and the gradient-accumulation cadence
+        are identical to the host loop (permutations come from the same RNG
+        stream - see tests/test_fused_train.py).  Works for all three
+        modalities through the `_logits_fn` hook."""
+        cfg = self.config
+        reason = None
+        if not cfg.FUSED_TRAIN:
+            reason = "FUSED_TRAIN disabled"
+        elif len(epoch) == 0:
+            reason = "empty training set"
+        elif not self._fused_val_ok(val):
+            reason = "empty validation set (per-epoch metric drives best-val selection)"
+        elif not self._fused_fits(epoch):
+            reason = (
+                f"training features ({getattr(epoch.features, 'nbytes', 0)/1e9:.1f} GB)"
+                f" exceed FUSED_MAX_BYTES/2 ({cfg.FUSED_MAX_BYTES/2e9:.1f} GB)"
+            )
+        if reason is not None:
+            log.warning(
+                "fused training unavailable (%s): falling back to the "
+                "dispatch-per-step host loop - expect a large slowdown on "
+                "high-latency device links",
+                reason,
+            )
+            return None
+        inp = self._fused_train_inputs(epoch, val)
+        ctx_train = jnp.asarray(self._train_text_class_ids(train_classes))
+        ctx_val = jnp.asarray(self._train_text_class_ids(inp["val_class_list"]))
+        val_is_seen = np.isin(inp["val_labels"], inp["seen_ids"]).astype(np.float32)
+
+        prompt0 = self._get_prompt_tree()
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        key = (
+            inp["steps"], inp["bs"], cfg.EPOCHS, inp["n_slot"],
+            ctx_train.shape, ctx_val.shape, len(inp["val_labels"]),
+            inp["trzsl_hmean"], str(jax.tree.structure(prompt0)),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = self._build_fused_train(
+                inp["steps"], inp["bs"], inp["n_slot"], inp["trzsl_hmean"]
+            )
+            self._fused_cache[key] = fn
+
+        feats_d = jnp.asarray(inp["feats"])
+        labels_d = jnp.asarray(inp["labels"])
+        groups_d = jnp.asarray(inp["groups"])
+        apply_flags = jnp.asarray(inp["apply_flags"])
+        vals = (
+            jnp.asarray(inp["val_feats"]), jnp.asarray(inp["val_labels"]),
+            jnp.asarray(inp["val_global"]), jnp.asarray(val_is_seen),
+        )
+
+        def call(perms_c, lrs_c, prompt, mom, gacc):
+            return fn(
+                self.runtime.params, prompt, ctx_train, ctx_val,
+                feats_d, labels_d, groups_d,
+                jnp.asarray(perms_c), jnp.asarray(lrs_c), apply_flags, *vals,
+                jnp.float32(self._w0), jnp.float32(self._w1),
+                jnp.float32(inp["n"]), mom, gacc,
+            )
+
+        zeros = jax.tree.map(jnp.zeros_like, prompt0)
+        metrics, prompts, train_accs, losses = self._fused_chunked_call(
+            call, (prompt0, zeros, zeros), inp["perms"], inp["lrs"], cfg.EPOCHS,
+        )
+        metrics = np.asarray(metrics)
+        best = int(np.argmax(metrics))
+        # the model keeps FINAL-epoch weights while the returned/saved params
+        # are the best-val snapshot - matching the reference, whose strategy
+        # object retains last-epoch parameters after train() (main_SSL.py:403
+        # runs test_predictions on the live model, not the saved prompt)
+        self._set_prompt_tree(
+            jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[-1]), prompts)
+        )
+        self._init_opt_state()
+        final_tree = self._get_prompt_tree()
+        self._set_prompt_tree(
+            jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[best]), prompts)
+        )
+        best_params = self.epoch_parameters()
+        self._set_prompt_tree(final_tree)
+        log.info(
+            "fused train: %d epochs, best epoch %d val=%.4f "
+            "(final train_acc=%.4f loss=%.4f)",
+            cfg.EPOCHS, best, metrics[best],
+            float(np.asarray(train_accs)[-1]), float(np.asarray(losses)[-1]),
+        )
+        return float(metrics[best]), best_params
+
+    def _build_fused_train(self, steps: int, bs: int, n_slot: int, trzsl: bool):
+        """Build the jitted whole-run training program: epochs x steps nested
+        lax.scan over (prompt, momentum, grad-accumulator) with per-epoch
+        validation.  Modality enters only through `_logits_fn`."""
+        logits_fn = self._logits_fn()
+        cfg = self.config
+        wd, momentum = cfg.DECAY, cfg.MOMENTUM
+        accum = max(1, cfg.ACCUMULATION_ITER)
+        if cfg.FUSED_REMAT and self.MODALITY != "text":
+            # rematerialize the vision tower in the backward pass
+            # (jax.checkpoint): trades FLOPs for activation memory
+            logits_fn = jax.checkpoint(logits_fn)
+        from menghini_neurips23_tpu.training.losses import masked_mean
+
+        @jax.jit
+        def fused(clip_params, prompt0, ctx_train, ctx_val, feats, labels,
+                  groups, perms, lrs, apply_flags, val_feats, val_labels,
+                  val_global, val_is_seen, w0, w1, n_real, mom0, gacc0):
+            def epoch_fn(carry, xs):
+                prompt, mom, gacc = carry
+                perm, lr = xs
+                idx = jnp.clip(perm, 0, n_slot - 1)
+                fb = feats[idx].reshape((steps, bs) + feats.shape[1:])
+                lb = jnp.where(perm >= 0, labels[idx], -1).reshape(steps, bs)
+                gb = groups[idx].reshape(steps, bs)
+                vb = (perm >= 0).astype(jnp.float32).reshape(steps, bs)
+
+                def step(carry, batch):
+                    prompt, mom, gacc = carry
+                    f, l, g_, v, ap = batch
+
+                    def loss_fn(prompt):
+                        logits = logits_fn(clip_params, prompt, ctx_train, f)
+                        loss = two_group_loss(logits, l, g_, v, w0, w1)
+                        return loss / accum, logits
+
+                    (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(prompt)
+                    # all-pad batches (fixed-shape bucketing) are no-ops
+                    has_valid = v.sum() > 0
+                    gacc = jax.tree.map(
+                        lambda a, gg: jnp.where(has_valid, a + gg, a), gacc, g
+                    )
+                    # optimizer steps every ACCUMULATION_ITER real batches and
+                    # at epoch end (host cadence, reference textual_prompt.py:134)
+                    do = (ap > 0) & has_valid
+                    g2 = jax.tree.map(lambda a, p: a + wd * p, gacc, prompt)
+                    mom = jax.tree.map(
+                        lambda m, gg: jnp.where(do, momentum * m + gg, m), mom, g2
+                    )
+                    prompt = jax.tree.map(
+                        lambda p, m: jnp.where(do, p - lr * m, p), prompt, mom
+                    )
+                    gacc = jax.tree.map(
+                        lambda a: jnp.where(do, jnp.zeros_like(a), a), gacc
+                    )
+                    correct = ((logits.argmax(1) == l) * v).sum()
+                    return (prompt, mom, gacc), (loss * accum, correct)
+
+                (prompt, mom, gacc), (losses, corrects) = jax.lax.scan(
+                    step, (prompt, mom, gacc), (fb, lb, gb, vb, apply_flags)
+                )
+                # per-epoch validation with the updated prompts (scale is a
+                # positive constant, so argmax over logits == argmax over sims)
+                vlogits = logits_fn(clip_params, prompt, ctx_val, val_feats)
+                vpred = vlogits.argmax(1)
+                correct_v = (val_global[vpred] == val_labels).astype(jnp.float32)
+                # padded validation rows (fixed-shape bucketing) carry label -1
+                val_valid = (val_labels >= 0).astype(jnp.float32)
+                if trzsl:
+                    acc_s = masked_mean(correct_v, val_is_seen * val_valid)
+                    acc_u = masked_mean(correct_v, (1.0 - val_is_seen) * val_valid)
+                    metric = jnp.where(
+                        (acc_s > 0) & (acc_u > 0),
+                        2.0 * acc_s * acc_u / jnp.maximum(acc_s + acc_u, 1e-12),
+                        0.0,
+                    )
+                else:
+                    metric = masked_mean(correct_v, val_valid)
+                train_acc = corrects.sum() / n_real
+                return (prompt, mom, gacc), (metric, prompt, train_acc, losses[-1])
+
+            (pf, mf, gf), outs = jax.lax.scan(
+                epoch_fn, (prompt0, mom0, gacc0), (perms, lrs)
+            )
+            return outs, pf, mf, gf
+
+        return fused
 
     def _fused_val_ok(self, val) -> bool:
         """Fused training needs a non-empty validation set (the per-epoch
@@ -524,7 +706,17 @@ class TrainingStrategy:
         seen_ids = np.asarray(
             sorted(self.label_to_idx[c] for c in self.seen_classes), np.int32
         )
+        # optimizer-apply cadence: every ACCUMULATION_ITER real batches and at
+        # the last real batch of the epoch, exactly like the host loop
+        # (_run_train_epoch); trailing all-pad bucket batches never apply
+        accum = max(1, cfg.ACCUMULATION_ITER)
+        real_steps = int(np.ceil(n / bs))
+        apply_flags = np.zeros(steps, np.float32)
+        for si in range(real_steps):
+            if ((si + 1) % accum == 0) or (si + 1 == real_steps):
+                apply_flags[si] = 1.0
         return {
+            "apply_flags": apply_flags,
             "steps": steps,
             "bs": bs,
             "n": n,
@@ -542,19 +734,19 @@ class TrainingStrategy:
             "seen_ids": seen_ids,
         }
 
-    def _fused_chunked_call(self, call, prompt0, mom0, perms, lrs, epochs: int):
+    def _fused_chunked_call(self, call, carry0, perms, lrs, epochs: int):
         """Run fused training either as one program or as FUSED_EPOCH_CHUNK-
-        epoch programs chained by the (prompt, momentum) carry - bounding
-        compile time / program size with exact semantics (pad epochs carry
-        all-pad permutations, which are gated no-ops, and are trimmed from
-        the outputs).
+        epoch programs chained by the optimizer carry - bounding compile time
+        / program size with exact semantics (pad epochs carry all-pad
+        permutations, which are gated no-ops, and are trimmed from the
+        outputs).
 
-        :param call: (perms_chunk, lrs_chunk, prompt, mom) ->
-            (per-epoch outputs pytree, final_prompt, final_mom)
+        :param call: (perms_chunk, lrs_chunk, *carry) ->
+            (per-epoch outputs pytree, *new_carry)
         """
         chunk = self.config.FUSED_EPOCH_CHUNK
         if chunk <= 0 or chunk >= epochs:
-            outs, _, _ = call(perms, lrs, prompt0, mom0)
+            outs, *_ = call(perms, lrs, *carry0)
             return jax.tree.map(np.asarray, outs)
         pad = (-epochs) % chunk
         if pad:
@@ -562,10 +754,10 @@ class TrainingStrategy:
                 [perms, -np.ones((pad, perms.shape[1]), perms.dtype)]
             )
             lrs = np.concatenate([lrs, np.zeros(pad, lrs.dtype)])
-        prompt, mom = prompt0, mom0
+        carry = tuple(carry0)
         outs_list = []
         for s in range(0, epochs + pad, chunk):
-            outs, prompt, mom = call(perms[s : s + chunk], lrs[s : s + chunk], prompt, mom)
+            outs, *carry = call(perms[s : s + chunk], lrs[s : s + chunk], *carry)
             outs_list.append(jax.tree.map(np.asarray, outs))
         return jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=0)[:epochs], *outs_list

@@ -50,17 +50,44 @@ def test_accum_two_equals_double_batch(tmp_path, mnist_fixture, tiny_runtime):
     np.testing.assert_allclose(results[2], results[1], rtol=2e-4, atol=1e-7)
 
 
-def test_accum_disables_fused_path(tmp_path, mnist_fixture, tiny_runtime):
+def test_fused_accumulation_equals_loop(tmp_path, mnist_fixture, tiny_runtime):
+    """ACCUMULATION_ITER=2 inside the fused scan must match the per-step host
+    loop exactly: same accumulation windows, same epoch-end flush."""
     root, _ = mnist_fixture
-    cfg = _build_config(
-        tmp_path, MODEL="textual_prompt", ACCUMULATION_ITER=2, FUSED_TRAIN=True,
-        EPOCHS=1,
-    )
-    classes, l2i, train, val = _big_datasets(mnist_fixture)
-    strat = TextualStrategy(
-        cfg, l2i, classes, classes, classes,
-        data_folder=str(root), runtime=tiny_runtime,
-    )
-    # fused path requires ACCUMULATION_ITER == 1 -> must fall back, not crash
-    acc, params = strat.train(train, val, only_seen=True)
-    assert 0.0 <= acc <= 1.0
+    results = {}
+    for fused in (True, False):
+        cfg = _build_config(
+            tmp_path / f"f{fused}", MODEL="textual_prompt", BATCH_SIZE=8,
+            ACCUMULATION_ITER=2, FUSED_TRAIN=fused, EPOCHS=3, MOMENTUM=0.9,
+        )
+        classes, l2i, train, val = _big_datasets(mnist_fixture)
+        strat = TextualStrategy(
+            cfg, l2i, classes, classes, classes,
+            data_folder=str(root), runtime=tiny_runtime,
+        )
+        acc, params = strat.train(train, val, only_seen=True)
+        results[fused] = (acc, params[0], np.asarray(strat.prefix))
+    assert results[True][0] == pytest.approx(results[False][0], abs=1e-6)
+    np.testing.assert_allclose(results[True][1], results[False][1], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(results[True][2], results[False][2], rtol=2e-4, atol=1e-6)
+
+
+def test_fused_accumulation_odd_window(tmp_path, mnist_fixture, tiny_runtime):
+    """A trailing short accumulation window (steps % accum != 0) must flush at
+    epoch end in both paths (reference textual_prompt.py:134-135 cadence)."""
+    root, _ = mnist_fixture
+    results = {}
+    for fused in (True, False):
+        cfg = _build_config(
+            tmp_path / f"o{fused}", MODEL="textual_prompt", BATCH_SIZE=8,
+            ACCUMULATION_ITER=3, FUSED_TRAIN=fused, EPOCHS=2,
+        )
+        classes, l2i, train, val = _big_datasets(mnist_fixture)
+        strat = TextualStrategy(
+            cfg, l2i, classes, classes, classes,
+            data_folder=str(root), runtime=tiny_runtime,
+        )
+        # 16 train imgs / bs 8 = 2 steps per epoch -> one short window of 2
+        acc, params = strat.train(train, val, only_seen=True)
+        results[fused] = np.asarray(strat.prefix)
+    np.testing.assert_allclose(results[True], results[False], rtol=2e-4, atol=1e-6)
