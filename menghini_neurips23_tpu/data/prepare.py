@@ -61,6 +61,27 @@ def _read_lines(path: str) -> List[str]:
         return [l.strip() for l in f]
 
 
+def _read_class_file(dataset: str, path: str, filename: str) -> List[str]:
+    """Class-name list for a FRAMED dataset: read it from DATASET_DIR exactly
+    like the reference (reference utils/prepare_data.py:88-90), falling back
+    to the copy bundled with this package (the reference ships the same files
+    under data/class_files/) so a real-data run needs only images + index
+    files."""
+    import os
+
+    primary = f"{path}/{filename}"
+    if os.path.exists(primary):
+        return _read_lines(primary)
+    bundled = os.path.join(
+        os.path.dirname(__file__), "class_files", dataset, filename
+    )
+    if os.path.exists(bundled):
+        return _read_lines(bundled)
+    raise FileNotFoundError(
+        f"no class file for {dataset}: neither {primary} nor bundled {bundled}"
+    )
+
+
 def _seeded_62pct_split(classes: Sequence[str], seed: int) -> Tuple[List[str], List[str]]:
     """62% seen / 38% unseen via np.random.choice - bit-identical to
     reference prepare_data.py:92-99 (same seed call, same argument forms)."""
@@ -94,9 +115,9 @@ def get_class_names(dataset: str, dataset_dir: str, seed: int = 500):
         unseen = [AWA2_CORRECTIONS.get(c, c) for c in _read_lines(f"{path}/testclasses.txt")]
         return seen + unseen, seen, unseen
     if dataset in ("EuroSAT", "DTD", "Flowers102"):
-        classes = _read_lines(f"{path}/class_names.txt")
+        classes = _read_class_file(dataset, path, "class_names.txt")
     elif dataset in ("FGVCAircraft", "MNIST"):
-        classes = _read_lines(f"{path}/labels.txt")
+        classes = _read_class_file(dataset, path, "labels.txt")
     elif dataset == "RESICS45":
         with open(f"{path}/train.json", "r") as f:
             data = json.load(f)

@@ -288,3 +288,41 @@ def test_apy_class_names(tmp_path):
     classes, seen, unseen = get_class_names("aPY", str(tmp_path))
     assert seen == ["dining table", "cat"]
     assert unseen == ["jet ski"]
+
+
+def test_bundled_class_files_fallback():
+    """get_class_names falls back to the class files bundled with the package
+    (same files the reference ships under data/class_files/) when DATASET_DIR
+    has no copy - a real-data run needs only images + index files."""
+    classes, seen, unseen = get_class_names("EuroSAT", "/nonexistent", seed=500)
+    assert len(classes) == 10  # incl. the final no-newline line (wc shows 9)
+    assert classes[0] == "annual crop land"
+    assert sorted(seen + unseen) == sorted(classes)
+    classes_m, _, _ = get_class_names("MNIST", "/nonexistent", seed=500)
+    assert classes_m == [str(i) for i in range(10)]
+
+
+def test_dataset_dir_class_file_wins_over_bundled(tmp_path):
+    d = tmp_path / "MNIST"
+    d.mkdir()
+    (d / "labels.txt").write_text("a\nb\nc\n")
+    classes, _, _ = get_class_names("MNIST", str(tmp_path), seed=500)
+    assert classes == ["a", "b", "c"]
+
+
+def test_bundled_split_jsons_match_regeneration():
+    """The bundled data_splits JSONs are regenerated from the seeded RNG (and
+    were verified set-equal to the reference's shipped JSONs); regeneration
+    must stay bit-stable."""
+    import json
+    import os
+
+    from menghini_neurips23_tpu.data.splits import generate_split_json
+
+    split_dir = os.path.join(
+        os.path.dirname(generate_split_json.__code__.co_filename), "data_splits"
+    )
+    for ds in ("EuroSAT", "DTD", "Flowers102", "FGVCAircraft", "MNIST"):
+        with open(os.path.join(split_dir, f"{ds}.json")) as f:
+            bundled = json.load(f)
+        assert generate_split_json(ds, "/nonexistent") == bundled, ds
