@@ -95,6 +95,7 @@ class Config:
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
+    ARTIFACT_FORMAT: str = "numpy"  # numpy | torch (reference-compatible layout)
     BPE_PATH: str = ""  # path to CLIP bpe_simple_vocab_16e6.txt.gz (optional)
     CLIP_CKPT: str = ""  # path to converted CLIP weights (optional; random init if "")
 

@@ -86,33 +86,85 @@ def _prompt_file_name(config, iteration=None) -> str:
 
 def save_parameters(obj: List[np.ndarray], config, iteration=None):
     """Pickle prompt params (reference :105-147).  Multimodal prompts write 8
-    separate artifacts keyed by MULTI_PART_NAMES, as the reference does."""
+    separate artifacts keyed by MULTI_PART_NAMES, as the reference does.
+
+    ARTIFACT_FORMAT="torch" writes the reference's exact byte layout instead
+    (pickled torch tensor lists; torch.save .pt state_dicts for the 5
+    multimodal module parts), so reference tooling can read our artifacts."""
     if not _is_main_process():
         return
     file_name = _prompt_file_name(config, iteration)
     _ensure_dir(file_name)
-    obj = jax.tree.map(np.asarray, obj)
+    obj = jax.tree.map(np.asarray, obj)  # None entries are empty subtrees
+    torch_fmt = getattr(config, "ARTIFACT_FORMAT", "numpy") == "torch"
     if config.MODALITY == "multi":
+        from menghini_neurips23_tpu.evaluation import interop
+
         base = file_name.rsplit(".", 1)[0]
         for idx, name in enumerate(MULTI_PART_NAMES):
+            if torch_fmt and idx < 5:
+                import torch
+
+                torch.save(interop.multi_part_to_torch(idx, obj[idx]), f"{base}_{name}.pt")
+                continue
+            part = obj[idx]
+            if torch_fmt:
+                # reference pickles raw numpy for the 3 embedding parts
+                part = None if part is None else np.asarray(part)
             with open(f"{base}_{name}.pickle", "wb") as f:
-                pickle.dump(obj[idx], f)
+                pickle.dump(part, f)
     else:
+        if torch_fmt:
+            from menghini_neurips23_tpu.evaluation import interop
+
+            obj = interop.tensor_list_to_torch(obj)
         with open(file_name, "wb") as f:
             pickle.dump(obj, f)
 
 
+def _load_multi_part(base: str, idx: int, name: str):
+    """One multimodal artifact part, accepting both our numpy pickles and the
+    reference's torch formats (.pt state_dicts / pickled tensors)."""
+    from menghini_neurips23_tpu.evaluation import interop
+
+    pkl = f"{base}_{name}.pickle"
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            part = pickle.load(f)
+        if idx == 0 and isinstance(part, dict) and any("resblocks." in k for k in part):
+            return interop.multi_part_from_torch(idx, part)
+        if idx in (1, 2, 3, 4) and isinstance(part, dict) and "weight" in part:
+            return interop.multi_part_from_torch(idx, part)
+        if idx >= 5:
+            return interop.to_numpy(part)
+        return part
+    pt = f"{base}_{name}.pt"
+    if os.path.exists(pt):
+        import torch
+
+        return interop.multi_part_from_torch(
+            idx, torch.load(pt, map_location="cpu", weights_only=False)
+        )
+    raise FileNotFoundError(f"neither {pkl} nor {pt} exists")
+
+
 def load_saved_parameters(config, iteration=None):
+    """Load a prompt artifact, ours or reference-produced (torch tensors are
+    converted to numpy; torch state_dict layouts to our flax subtrees)."""
     file_name = _prompt_file_name(config, iteration)
     if config.MODALITY == "multi":
         base = file_name.rsplit(".", 1)[0]
-        out = []
-        for name in MULTI_PART_NAMES:
-            with open(f"{base}_{name}.pickle", "rb") as f:
-                out.append(pickle.load(f))
-        return out
+        return [
+            _load_multi_part(base, idx, name)
+            for idx, name in enumerate(MULTI_PART_NAMES)
+        ]
     with open(file_name, "rb") as f:
-        return pickle.load(f)
+        out = pickle.load(f)
+    if any(hasattr(p, "detach") for p in out if p is not None):
+        from menghini_neurips23_tpu.evaluation import interop
+
+        out = interop.tensor_list_from_torch(out)
+    return out
 
 
 def save_pseudo_labels(imgs, labs, config, iteration):
