@@ -124,13 +124,13 @@ def attention(y, lw, mode):
     return out @ lw["out_k"].astype(BF) + lw["out_b"].astype(BF)
 
 
-def tower(prompt, mode):
+def tower(params, prompt, toks, mode):
     f32ln = mode != "fused"
     x = jnp.concatenate(
         [
-            tokens[:, :1],
+            toks[:, :1],
             jnp.broadcast_to(prompt[None], (B, 16, W)),
-            tokens[:, 1:],
+            toks[:, 1:],
         ],
         axis=1,
     )
@@ -153,19 +153,22 @@ def tower(prompt, mode):
             y = y * jax.nn.sigmoid(1.702 * y)
             y = y @ lw["proj_k"].astype(BF) + lw["proj_b"].astype(BF)
             x = x + y
-        return x, None
+        return x
 
-    x, _ = lax.scan(block, x, layer_params)
+    # unrolled like the production flax Transformer (grad-of-scan-over-layers
+    # compiles pathologically slowly through the remote-compile tunnel)
+    for i in range(LAYERS):
+        x = block(x, {k: v[i] for k, v in layer_params.items()})
     x = ln(x[:, 0], params["lnpost_s"], params["lnpost_b"], f32ln).astype(BF)
     return x @ params["head"].astype(BF)
 
 
-def loss_fn(prompt, mode):
-    img = tower(prompt, mode).astype(jnp.float32)
+def loss_fn(params, prompt, toks, txt, labs, mode):
+    img = tower(params, prompt, toks, mode).astype(jnp.float32)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-    logits = 100.0 * img @ text.T
+    logits = 100.0 * img @ txt.T
     lse = jax.nn.logsumexp(logits, axis=-1)
-    return (lse - logits[jnp.arange(B), labels]).mean()
+    return (lse - logits[jnp.arange(B), labs]).mean()
 
 
 def build(mode):
@@ -190,26 +193,26 @@ def build(mode):
     if mode == "fwdonly":
 
         @jax.jit
-        def run(prompt):
+        def run(params, prompt, toks, txt, labs):
             def body(p, _):
-                return p, loss_fn(p, "baseline")
+                return p, loss_fn(params, p, toks, txt, labs, "baseline")
 
             p, ls = lax.scan(body, prompt, None, length=REPS)
             return ls.sum()
 
         flops_per_rep = step_flops(fwd_only=True)
-        return run, (prefix0,), flops_per_rep
+        return run, (params, prefix0, tokens, text, labels), flops_per_rep
 
     @jax.jit
-    def run(prompt):
+    def run(params, prompt, toks, txt, labs):
         def body(p, _):
-            l, g = jax.value_and_grad(loss_fn)(p, mode)
+            l, g = jax.value_and_grad(loss_fn, argnums=1)(params, p, toks, txt, labs, mode)
             return p - 0.01 * g, l
 
         p, ls = lax.scan(body, prompt, None, length=REPS)
         return ls.sum() + p.sum().astype(jnp.float32)
 
-    return run, (prefix0,), step_flops()
+    return run, (params, prefix0, tokens, text, labels), step_flops()
 
 
 def step_flops(fwd_only=False):

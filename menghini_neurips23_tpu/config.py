@@ -91,6 +91,7 @@ class Config:
     PROFILE_DIR: str = ""  # write a jax.profiler trace of the run here
     PSEUDO_TOPK: str = "exact"  # exact (reference leaderboard) | device (lax.top_k fast path)
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
+    HOST_CACHE_BYTES: int = 4_000_000_000  # byte cap for the per-image host feature LRU
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh

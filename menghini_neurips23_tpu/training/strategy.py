@@ -60,7 +60,11 @@ log = logging.getLogger(__name__)
 
 
 class EpochData:
-    """Device-ready training tensors for one training-set composition."""
+    """Device-ready training tensors for one training-set composition.
+
+    features is None in STREAMING mode (training set too large to
+    materialize): the host loop then fetches per-batch features through the
+    bounded cache instead."""
 
     def __init__(self, features, labels, group, paths):
         self.features = features  # modality-specific: (N,E) img feats or (N,S,W) tokens
@@ -70,6 +74,45 @@ class EpochData:
 
     def __len__(self):
         return len(self.labels)
+
+
+class BoundedFeatureCache:
+    """Byte-capped LRU for per-image host features (VPT/UPT patch tokens are
+    ~150 KB/image fp32; an unbounded dict would silently grow to tens of GB
+    on a large GRIP pool)."""
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
+        self.max_bytes = int(max_bytes)
+        self.nbytes = 0
+        self._d: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def put(self, key, value: np.ndarray):
+        old = self._d.pop(key, None)
+        if old is not None:
+            self.nbytes -= old.nbytes
+        self._d[key] = value
+        self.nbytes += value.nbytes
+        while self.nbytes > self.max_bytes and len(self._d) > 1:
+            _, evicted = self._d.popitem(last=False)
+            self.nbytes -= evicted.nbytes
+
+    def clear(self):
+        self._d.clear()
+        self.nbytes = 0
 
 
 class TrainingStrategy:
@@ -104,7 +147,7 @@ class TrainingStrategy:
         self.balance_param = 1.0
         # loss weights (w0: labeled/seen term, w1: pseudo/unseen term)
         self._w0, self._w1 = 1.0, 0.0
-        self._feat_cache: Dict[str, np.ndarray] = {}
+        self._feat_cache = BoundedFeatureCache(config.HOST_CACHE_BYTES)
         self._rng = np.random.default_rng(config.OPTIM_SEED)
         self.initialize_prompts_parameters()
 
@@ -113,9 +156,29 @@ class TrainingStrategy:
         """Create self.prompt_params (trainable pytree). Modality-specific."""
         raise NotImplementedError
 
-    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
-        """Modality-specific cached frozen representation per image."""
+    def _encode_paths(self, paths: Sequence[str]) -> np.ndarray:
+        """Modality hook: frozen per-image representation for a file list
+        (image features for CoOp; pos-embedded patch tokens for VPT/UPT)."""
         raise NotImplementedError
+
+    def _feature_item_nbytes(self) -> int:
+        """Host bytes per cached feature item (for streaming decisions)."""
+        raise NotImplementedError
+
+    def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
+        """Cached frozen representation per image, through the byte-capped
+        LRU.  Large inference pools pass cache=False and stream through."""
+        have = {p: self._feat_cache.get(p) for p in paths if p in self._feat_cache}
+        missing = list(dict.fromkeys(p for p in paths if p not in have))
+        if missing:
+            feats = self._encode_paths(missing)
+            for p, f in zip(missing, feats):
+                have[p] = f
+                if cache:
+                    self._feat_cache.put(p, f)
+        if not paths:
+            return np.empty((0,))
+        return np.stack([have[p] for p in paths])
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         """Token ids / text features needed by the step for `class_list`."""
@@ -400,6 +463,11 @@ class TrainingStrategy:
         lut = {self.label_to_idx[c]: i for i, c in enumerate(class_list)}
         labels = [lut[l] for l in raw_labels]
         groups = getattr(self, "_train_groups", [0] * len(paths))
+        # training sets too large to materialize stream per-batch features
+        # through the bounded cache instead (host loop only)
+        est = len(paths) * self._feature_item_nbytes()
+        if 2 * est > self.config.FUSED_MAX_BYTES:
+            return EpochData(None, labels, groups, paths)
         feats = self._features_for_paths(paths)
         return EpochData(feats, labels, groups, paths)
 
@@ -433,7 +501,10 @@ class TrainingStrategy:
             count = len(idx)
             pad = bs - count
             sel = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
-            feats = epoch.features[sel]
+            if epoch.features is None:  # streaming: fetch through the cache
+                feats = self._features_for_paths([epoch.paths[i] for i in sel])
+            else:
+                feats = epoch.features[sel]
             labels = (
                 np.concatenate([epoch.labels[idx], -np.ones(pad, np.int32)])
                 if pad
@@ -476,9 +547,11 @@ class TrainingStrategy:
         elif not self._fused_val_ok(val):
             reason = "empty validation set (per-epoch metric drives best-val selection)"
         elif not self._fused_fits(epoch):
+            est = len(epoch) * self._feature_item_nbytes()
             reason = (
-                f"training features ({getattr(epoch.features, 'nbytes', 0)/1e9:.1f} GB)"
-                f" exceed FUSED_MAX_BYTES/2 ({cfg.FUSED_MAX_BYTES/2e9:.1f} GB)"
+                f"training features (~{est/1e9:.1f} GB) exceed "
+                f"FUSED_MAX_BYTES/2 ({cfg.FUSED_MAX_BYTES/2e9:.1f} GB); "
+                "the host loop streams them per batch"
             )
         if reason is not None:
             log.warning(
@@ -651,8 +724,9 @@ class TrainingStrategy:
         """Whole-run fusion keeps the training features device-resident (plus
         one gathered copy inside the scan); bail out to the streaming host
         loop when that would not fit."""
-        nbytes = getattr(epoch.features, "nbytes", 0)
-        return 2 * nbytes <= self.config.FUSED_MAX_BYTES
+        if epoch.features is None:  # streaming mode: never materialized
+            return False
+        return 2 * epoch.features.nbytes <= self.config.FUSED_MAX_BYTES
 
     def _fused_train_inputs(self, epoch: EpochData, val):
         """Shared host-side assembly for fused training: per-epoch shuffles,

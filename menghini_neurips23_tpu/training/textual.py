@@ -58,13 +58,11 @@ class TextualStrategy(TrainingStrategy):
         return fn
 
     # ------------------------------------------------------------ features
-    def _features_for_paths(self, paths: Sequence[str]) -> np.ndarray:
-        missing = [p for p in paths if p not in self._feat_cache]
-        if missing:
-            feats = self.runtime.encode_images_from_files(missing, normalize=True)
-            for p, f in zip(missing, feats):
-                self._feat_cache[p] = f
-        return np.stack([self._feat_cache[p] for p in paths]) if paths else np.empty((0,))
+    def _encode_paths(self, paths: Sequence[str]) -> np.ndarray:
+        return self.runtime.encode_images_from_files(paths, normalize=True)
+
+    def _feature_item_nbytes(self) -> int:
+        return self.runtime.arch.embed_dim * 4
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         return build_prompt_token_ids(

@@ -77,24 +77,12 @@ class VisualStrategy(TrainingStrategy):
         return self.prompt["prefix"]
 
     # ------------------------------------------------------------ features
-    def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
-        """Pos-embedded CLS+patch tokens (N, 1+P, width).  Patch tokens are
-        ~150KB/image, so only training/validation paths are cached; large
-        inference pools (cache=False callers) stream through."""
-        missing = [p for p in paths if p not in self._feat_cache]
-        computed = {}
-        if missing:
-            toks = self.runtime.vision_tokens_from_files(missing)
-            for p, t in zip(missing, toks):
-                if cache:
-                    self._feat_cache[p] = t
-                else:
-                    computed[p] = t
-        if not paths:
-            return np.empty((0,))
-        return np.stack(
-            [self._feat_cache.get(p, computed.get(p)) for p in paths]
-        )
+    def _encode_paths(self, paths: Sequence[str]) -> np.ndarray:
+        return self.runtime.vision_tokens_from_files(paths)
+
+    def _feature_item_nbytes(self) -> int:
+        a = self.runtime.arch
+        return (a.num_patches + 1) * a.vision_width * 4
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         """Frozen normalized text features for template prompts (reference
