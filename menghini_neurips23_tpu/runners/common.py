@@ -139,6 +139,86 @@ def finish_workflow(cfg, model, optimal_prompt, test_dataset, test_files, test_l
     return std_response
 
 
+def paradigm_workflow(dataset_dir, obj_conf, assemble, adjust_classes=None,
+                      runtime=None):
+    """One parametrized workflow for SSL/UL/TRZSL (the reference triplicates
+    ~400 lines across main_SSL/main_UL/main_TRZSL; only the data-assembly
+    policy differs).
+
+    :param assemble: hook (obj_conf, classes, seen, unseen, labeled_data,
+        unlabeled_data) -> (seen, unseen, train_files, train_labs, val_files,
+        val_labs, pool_files) - the paradigm's labeled/unlabeled composition.
+    :param adjust_classes: optional hook (classes, seen, unseen) -> (seen,
+        unseen) applied BEFORE pool parsing (SSL treats every class as both
+        seen and unseen, reference main_SSL.py:74-75).
+    """
+    from menghini_neurips23_tpu.data import (
+        dataset_object,
+        get_class_names,
+        get_labeled_and_unlabeled_data,
+    )
+
+    dataset = obj_conf.DATASET_NAME
+    classes, seen_classes, unseen_classes = get_class_names(
+        dataset, dataset_dir, obj_conf.SPLIT_SEED
+    )
+    if adjust_classes is not None:
+        seen_classes, unseen_classes = adjust_classes(
+            classes, seen_classes, unseen_classes
+        )
+    data_folder = f"{dataset_dir}/{dataset}"
+    labeled_data, unlabeled_data, test_data = get_labeled_and_unlabeled_data(
+        dataset, data_folder, seen_classes, unseen_classes, classes
+    )
+    test_labeled_files, test_labeles = zip(*test_data)
+    label_to_idx = {c: idx for idx, c in enumerate(classes)}
+
+    (
+        seen_classes, unseen_classes,
+        train_files, train_labs, val_files, val_labs, pool_files,
+    ) = assemble(obj_conf, classes, seen_classes, unseen_classes,
+                 labeled_data, unlabeled_data)
+    dict_classes = {
+        "classes": classes,
+        "seen_classes": seen_classes,
+        "unseen_classes": unseen_classes,
+    }
+    log.info(
+        "classes: %d (seen %d / unseen %d); data folder: %s",
+        len(classes), len(seen_classes), len(unseen_classes), data_folder,
+    )
+    log.info("labeled train: %d, val: %d; unlabeled pool: %d",
+             len(train_files), len(val_files), len(pool_files))
+
+    DatasetObject = dataset_object(dataset)
+    train_seen_dataset = DatasetObject(
+        train_files, data_folder, train=True, labels=train_labs, label_map=label_to_idx
+    )
+    train_unseen_dataset = DatasetObject(
+        pool_files, data_folder, train=True, labels=None, label_map=label_to_idx
+    )
+    truncated_unseen = [f.split("/")[-1] for f in train_unseen_dataset.filepaths]
+    val_seen_dataset = DatasetObject(
+        val_files, data_folder, train=True, labels=val_labs, label_map=label_to_idx
+    )
+    test_dataset = DatasetObject(
+        test_labeled_files, data_folder, train=False, labels=None, label_map=label_to_idx
+    )
+
+    model, method = build_strategy(
+        obj_conf, label_to_idx, dict_classes, data_folder,
+        unlabeled_files=truncated_unseen, runtime=runtime,
+    )
+    val_accuracy, optimal_prompt = run_strategy(
+        model, method, train_seen_dataset, val_seen_dataset, train_unseen_dataset
+    )
+    log.info("best validation accuracy: %s", val_accuracy)
+    return finish_workflow(
+        obj_conf, model, optimal_prompt, test_dataset,
+        test_labeled_files, test_labeles, dict_classes,
+    )
+
+
 def main_template(workflow, argv=None, env=None):
     args = parse_args(argv)
     cfg = load_config(args, env=env)
