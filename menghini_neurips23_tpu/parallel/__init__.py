@@ -11,6 +11,8 @@ from menghini_neurips23_tpu.parallel.mesh import (  # noqa: F401
 )
 from menghini_neurips23_tpu.parallel.multihost import (  # noqa: F401
     initialize_distributed,
+    initialize_from_env,
     is_main_process,
+    replicate_tree,
     shard_filelist_for_host,
 )

@@ -38,6 +38,38 @@ def initialize_distributed(
     )
 
 
+def initialize_from_env(env=None) -> bool:
+    """Initialize the process group from launcher env vars, the multi-host
+    replacement for `accelerate launch`'s process spawning (reference
+    scripts/run_prompts_ssl.sh:20-21 + accelerate_config.yml:8-9):
+
+        JAX_COORDINATOR_ADDRESS=host:port JAX_NUM_PROCESSES=N \\
+        JAX_PROCESS_ID=i python run_main_ssl.py ...
+
+    Returns True when a multi-process group was initialized.  Must run before
+    any JAX backend is touched."""
+    import os
+
+    env = os.environ if env is None else env
+    addr = env.get("JAX_COORDINATOR_ADDRESS", "")
+    num = int(env.get("JAX_NUM_PROCESSES", "1") or 1)
+    if not addr or num <= 1:
+        return False
+    initialize_distributed(addr, num, int(env.get("JAX_PROCESS_ID", "0")))
+    return True
+
+
+def replicate_tree(mesh, tree):
+    """Host pytree -> mesh-replicated global arrays.  In a multi-process
+    group, single-device jnp arrays cannot feed a global-mesh jit; every
+    process calls this with the same host values instead."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    host = jax.tree.map(np.asarray, tree)
+    return jax.device_put(host, NamedSharding(mesh, P()))
+
+
 def shard_filelist_for_host(
     filepaths: Sequence[str],
     process_index: Optional[int] = None,

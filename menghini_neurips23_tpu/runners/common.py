@@ -231,6 +231,10 @@ def main_template(workflow, argv=None, env=None):
         )
     if not Path(cfg.DATASET_DIR).exists():
         raise FileNotFoundError(f"`dataset_dir` does not exist: {cfg.DATASET_DIR}")
+    # multi-host process group from launcher env (before any backend touch)
+    from menghini_neurips23_tpu.parallel import initialize_from_env
+
+    initialize_from_env()
     setup_logging(cfg)
     seed_everything(cfg)
     if cfg.PROFILE_DIR:

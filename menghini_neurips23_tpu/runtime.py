@@ -65,6 +65,22 @@ class ClipRuntime:
         self.tokenizer = tokenizer
         self._dp = data_parallelism(self.mesh)
         self._dsh = data_sharding(self.mesh)
+        # multi-controller: every host must read full results -> replicate
+        # batched-pass outputs (an XLA all-gather over ICI/DCN); single host
+        # keeps them data-sharded (all shards are addressable anyway)
+        self._pc = jax.process_count()
+        self._pi = jax.process_index()
+        from menghini_neurips23_tpu.parallel import replicated
+
+        self._osh = replicated(self.mesh) if self._pc > 1 else self._dsh
+
+    def put_rep(self, tree):
+        """Host pytree -> jit-ready arrays (mesh-replicated when multi-host)."""
+        if self._pc == 1:
+            return jax.tree.map(jnp.asarray, tree)
+        from menghini_neurips23_tpu.parallel import replicate_tree
+
+        return replicate_tree(self.mesh, tree)
 
     # ------------------------------------------------------------------ jitted
     def _folded_embed(self, params, images_u8):
@@ -101,21 +117,21 @@ class ClipRuntime:
             tokens = self._folded_embed(params, images_u8)
             return self.model.apply(params, tokens, method="vision_encode_tokens")
 
-        return jax.jit(fn, out_shardings=self._dsh)
+        return jax.jit(fn, out_shardings=self._osh)
 
     @functools.cached_property
     def _vision_embed(self):
         def fn(params, images_u8):
             return self._folded_embed(params, images_u8)
 
-        return jax.jit(fn, out_shardings=self._dsh)
+        return jax.jit(fn, out_shardings=self._osh)
 
     @functools.cached_property
     def _encode_text(self):
         def fn(params, ids):
             return self.model.apply(params, ids, method="encode_text")
 
-        return jax.jit(fn)
+        return jax.jit(fn, out_shardings=self._osh if self._pc > 1 else None)
 
     @property
     def logit_scale(self) -> float:
@@ -124,30 +140,62 @@ class ClipRuntime:
     # ------------------------------------------------------------- host-facing
     def encode_text(self, ids: np.ndarray, normalize: bool = True) -> np.ndarray:
         """(C, 77) ids -> (C, E) fp32 features."""
-        feats = np.array(self._encode_text(self.params, jnp.asarray(ids)), np.float32)
+        feats = np.array(self._encode_text(self.params, np.asarray(ids)), np.float32)
         if normalize:
             feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
 
     def _batched_pass(self, fn, filepaths, batch_size: Optional[int] = None, cache=None):
-        """Run a jitted per-batch image fn over a file list; returns stacked np."""
+        """Run a jitted per-batch image fn over a file list; returns stacked np.
+
+        Multi-host: each process decodes ONLY its contiguous slice of every
+        global batch (per-host IO sharding, replacing the reference's DDP
+        sampler); the global batch is assembled by device placement and the
+        replicated output gives every host the full result with exact
+        unpadding (no drop_duplicates dedup, reference textual_prompt.py:294)."""
         import time
 
         bs = batch_size or max(self.cfg.BATCH_SIZE, 32)
-        bs = int(np.ceil(bs / self._dp) * self._dp)  # shardable batch
+        bs = int(np.ceil(bs / (self._dp * self._pc)) * self._dp * self._pc)
         outs = []
         t0 = time.perf_counter()
-        for batch in iter_image_batches(
-            filepaths, bs, self.arch.image_resolution, cache=cache
-        ):
-            imgs = jax.device_put(batch.images, self._dsh)
-            out = np.asarray(fn(self.params, imgs), np.float32)
-            outs.append(out[: batch.count])
+        if self._pc > 1:
+            outs = self._batched_pass_multihost(fn, filepaths, bs)
+        else:
+            for batch in iter_image_batches(
+                filepaths, bs, self.arch.image_resolution, cache=cache
+            ):
+                imgs = jax.device_put(batch.images, self._dsh)
+                out = np.asarray(fn(self.params, imgs), np.float32)
+                outs.append(out[: batch.count])
         n = len(filepaths)
         if n >= 512:  # observability for the big pool passes
             dt = time.perf_counter() - t0
             log.info("batched pass: %d images in %.2fs (%.0f img/s)", n, dt, n / dt)
         return np.concatenate(outs, axis=0) if outs else np.empty((0,))
+
+    def _batched_pass_multihost(self, fn, filepaths, bs: int):
+        from menghini_neurips23_tpu.data.loader import ImageLoader
+
+        loader = ImageLoader(self.arch.image_resolution)
+        lbs = bs // self._pc  # rows owned by this host per global batch
+        R = self.arch.image_resolution
+        outs = []
+        for s in range(0, len(filepaths), bs):
+            files = filepaths[s : s + bs]
+            count = len(files)
+            lo = min(self._pi * lbs, count)
+            hi = min(lo + lbs, count)
+            local = loader.load_all(list(files[lo:hi]))
+            if local.shape[0] < lbs:  # zero-pad this host's slice
+                pad = np.zeros((lbs - local.shape[0], R, R, 3), np.uint8)
+                local = np.concatenate([local, pad]) if local.size else pad
+            imgs = jax.make_array_from_process_local_data(
+                self._dsh, local, (bs, R, R, 3)
+            )
+            out = np.asarray(fn(self.params, imgs), np.float32)
+            outs.append(out[:count])
+        return outs
 
     def encode_images_from_files(
         self, filepaths: Sequence[str], normalize: bool = True, batch_size=None, cache=None

@@ -109,12 +109,13 @@ class MultimodalStrategy(TrainingStrategy):
         return fn
 
     def _predict_logits(self, paths, class_list, batch: int = 256):
-        ids = jnp.asarray(self._train_text_class_ids(class_list))
+        ids = np.asarray(self._train_text_class_ids(class_list))
         out = []
         for s in range(0, len(paths), batch):
             toks = self._features_for_paths(paths[s : s + batch], cache=False)
             tf, img = self._feats_fn(
-                self.runtime.params, self.upt_params, ids, jnp.asarray(toks)
+                self.runtime.params, self.runtime.put_rep(self.upt_params),
+                ids, np.asarray(toks, np.float32),
             )
             out.append(self.runtime.logit_scale * np.asarray(img) @ np.asarray(tf).T)
         return np.concatenate(out) if out else np.empty((0, len(class_list)))

@@ -237,14 +237,15 @@ class TrainingStrategy:
                     apply: bool = True):
         from menghini_neurips23_tpu.parallel import put_batch
 
-        prompt = self._get_prompt_tree()
+        put = self.runtime.put_rep
+        prompt = put(self._get_prompt_tree())
         new_prompt, self._mom, self._gacc, loss, correct = step(
             self.runtime.params,
             prompt,
-            self._mom,
-            self._gacc,
-            jnp.float32(lr),
-            jnp.asarray(class_ctx),
+            put(self._mom),
+            put(self._gacc),
+            np.float32(lr),
+            put(np.asarray(class_ctx)),
             *put_batch(
                 self.runtime.mesh,
                 np.asarray(feats),
@@ -252,8 +253,8 @@ class TrainingStrategy:
                 np.asarray(group),
                 np.asarray(valid),
             ),
-            jnp.float32(self._w0),
-            jnp.float32(self._w1),
+            np.float32(self._w0),
+            np.float32(self._w1),
             apply=apply,
         )
         self._set_prompt_tree(new_prompt)
@@ -562,11 +563,12 @@ class TrainingStrategy:
             )
             return None
         inp = self._fused_train_inputs(epoch, val)
-        ctx_train = jnp.asarray(self._train_text_class_ids(train_classes))
-        ctx_val = jnp.asarray(self._train_text_class_ids(inp["val_class_list"]))
+        put = self.runtime.put_rep  # multi-host: mesh-replicated global arrays
+        ctx_train = put(self._train_text_class_ids(train_classes))
+        ctx_val = put(self._train_text_class_ids(inp["val_class_list"]))
         val_is_seen = np.isin(inp["val_labels"], inp["seen_ids"]).astype(np.float32)
 
-        prompt0 = self._get_prompt_tree()
+        prompt0 = put(self._get_prompt_tree())
         if not hasattr(self, "_fused_cache"):
             self._fused_cache = {}
         key = (
@@ -581,25 +583,25 @@ class TrainingStrategy:
             )
             self._fused_cache[key] = fn
 
-        feats_d = jnp.asarray(inp["feats"])
-        labels_d = jnp.asarray(inp["labels"])
-        groups_d = jnp.asarray(inp["groups"])
-        apply_flags = jnp.asarray(inp["apply_flags"])
+        feats_d = put(inp["feats"])
+        labels_d = put(inp["labels"])
+        groups_d = put(inp["groups"])
+        apply_flags = put(inp["apply_flags"])
         vals = (
-            jnp.asarray(inp["val_feats"]), jnp.asarray(inp["val_labels"]),
-            jnp.asarray(inp["val_global"]), jnp.asarray(val_is_seen),
+            put(inp["val_feats"]), put(inp["val_labels"]),
+            put(inp["val_global"]), put(val_is_seen),
         )
 
         def call(perms_c, lrs_c, prompt, mom, gacc):
             return fn(
                 self.runtime.params, prompt, ctx_train, ctx_val,
                 feats_d, labels_d, groups_d,
-                jnp.asarray(perms_c), jnp.asarray(lrs_c), apply_flags, *vals,
-                jnp.float32(self._w0), jnp.float32(self._w1),
-                jnp.float32(inp["n"]), mom, gacc,
+                put(np.asarray(perms_c)), put(np.asarray(lrs_c)), apply_flags, *vals,
+                np.float32(self._w0), np.float32(self._w1),
+                np.float32(inp["n"]), mom, gacc,
             )
 
-        zeros = jax.tree.map(jnp.zeros_like, prompt0)
+        zeros = jax.tree.map(jnp.zeros_like, prompt0)  # inherits prompt0 sharding
         metrics, prompts, train_accs, losses = self._fused_chunked_call(
             call, (prompt0, zeros, zeros), inp["perms"], inp["lrs"], cfg.EPOCHS,
         )
@@ -610,12 +612,12 @@ class TrainingStrategy:
         # object retains last-epoch parameters after train() (main_SSL.py:403
         # runs test_predictions on the live model, not the saved prompt)
         self._set_prompt_tree(
-            jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[-1]), prompts)
+            put(jax.tree.map(lambda x: np.asarray(x)[-1], prompts))
         )
         self._init_opt_state()
         final_tree = self._get_prompt_tree()
         self._set_prompt_tree(
-            jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[best]), prompts)
+            put(jax.tree.map(lambda x: np.asarray(x)[best], prompts))
         )
         best_params = self.epoch_parameters()
         self._set_prompt_tree(final_tree)

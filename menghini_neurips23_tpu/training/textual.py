@@ -86,7 +86,9 @@ class TextualStrategy(TrainingStrategy):
         """Normalized prompted text features (the reference's self.model(classes))."""
         ids = self._train_text_class_ids(class_list)
         return np.asarray(
-            self._text_feats_fn(self.runtime.params, self.prefix, jnp.asarray(ids)),
+            self._text_feats_fn(
+                self.runtime.params, self.runtime.put_rep(self.prefix), np.asarray(ids)
+            ),
             np.float32,
         )
 

@@ -116,7 +116,9 @@ class VisualStrategy(TrainingStrategy):
             out.append(
                 np.asarray(
                     self._image_feats_fn(
-                        self.runtime.params, self.prompt, jnp.asarray(toks)
+                        self.runtime.params,
+                        self.runtime.put_rep(self.prompt),
+                        np.asarray(toks, np.float32),
                     ),
                     np.float32,
                 )
