@@ -117,6 +117,10 @@ def attention(y, lw, mode):
             e = jnp.exp(logits - mx)
             attn = e / e.sum(-1, keepdims=True)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, W)
+    elif mode == "pallas":
+        from menghini_neurips23_tpu.ops.attention import fused_attention
+
+        out = fused_attention(qkv, jnp.zeros((T, T), jnp.float32), H)
     elif mode == "noattn":
         out = qkv[..., :W]
     else:

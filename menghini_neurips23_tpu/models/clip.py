@@ -40,6 +40,29 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# Attention implementation switch (trace-time; ClipRuntime sets it from
+# Config.FUSED_ATTENTION before building its jitted functions):
+#   "auto" - the Pallas fused kernel on TPU, the XLA path elsewhere
+#   "on"   - always the fused kernel (interpreted off-TPU; used by tests)
+#   "off"  - always the XLA path
+_FUSED_ATTENTION = "auto"
+
+
+def set_fused_attention(mode: str) -> None:
+    global _FUSED_ATTENTION
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"FUSED_ATTENTION must be auto|on|off, got {mode!r}")
+    _FUSED_ATTENTION = mode
+
+
+def _fused_attention_enabled() -> bool:
+    if _FUSED_ATTENTION == "on":
+        return True
+    if _FUSED_ATTENTION == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with OpenAI-CLIP-compatible fused qkv parameters."""
 
@@ -58,6 +81,21 @@ class MultiHeadAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * W,), jnp.float32)
         x = x.astype(self.dtype)
         qkv = x @ in_kernel.astype(self.dtype) + in_bias.astype(self.dtype)
+        if _fused_attention_enabled():
+            # Pallas fused qk^T -> fp32 softmax -> attn@v, consuming the fused
+            # qkv directly (no head-split transposes, no HBM score tensor);
+            # custom VJP keeps jax.grad working (ops/attention.py)
+            from menghini_neurips23_tpu.ops.attention import fused_attention
+
+            m = (
+                mask.astype(jnp.float32)
+                if mask is not None
+                else jnp.zeros((T, T), jnp.float32)
+            )
+            out = fused_attention(qkv, m, H)
+            return nn.Dense(
+                W, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj"
+            )(out)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)

@@ -37,6 +37,9 @@ class ClipRuntime:
 
     def __init__(self, cfg: Config, mesh=None, tokenizer=None):
         self.cfg = cfg
+        from menghini_neurips23_tpu.models.clip import set_fused_attention
+
+        set_fused_attention(getattr(cfg, "FUSED_ATTENTION", "auto"))
         dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
         if cfg.CLIP_CKPT:
@@ -156,7 +159,9 @@ class ClipRuntime:
         import time
 
         bs = batch_size or max(self.cfg.BATCH_SIZE, 32)
-        bs = int(np.ceil(bs / (self._dp * self._pc)) * self._dp * self._pc)
+        # global data-axis size is a multiple of the process count, so this
+        # also makes the per-host slice (bs / pc) integral
+        bs = int(np.ceil(bs / self._dp) * self._dp)
         outs = []
         t0 = time.perf_counter()
         if self._pc > 1:

@@ -1,0 +1,127 @@
+"""Pallas fused attention (ops/attention.py) vs the XLA attention path.
+
+Runs the kernel in interpreter mode on the CPU mesh; forward outputs and
+gradients (through jax.custom_vjp) must match the head-split XLA
+implementation in models/clip.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from menghini_neurips23_tpu.models import TINY_TEST, init_clip_params
+from menghini_neurips23_tpu.models.clip import set_fused_attention
+from menghini_neurips23_tpu.ops.attention import fused_attention
+
+
+@pytest.fixture(autouse=True)
+def _reset_mode():
+    yield
+    set_fused_attention("auto")
+
+
+def _xla_attention(qkv, mask, heads):
+    """The models/clip.py XLA path, extracted (head-split + fp32 softmax)."""
+    B, T, threeW = qkv.shape
+    W = threeW // 3
+    D = W // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (D**-0.5)
+    logits = logits + mask
+    attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("bt", [(4, 10), (8, 66)])
+def test_fused_attention_forward_matches_xla(masked, bt):
+    B, T = bt
+    H, D = 4, 16
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)).astype(np.float32))
+    mask = (
+        jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+        if masked
+        else jnp.zeros((T, T), jnp.float32)
+    )
+    ours = fused_attention(qkv, mask, H)
+    want = _xla_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_attention_grads_match_xla(masked):
+    B, T, H, D = 4, 12, 4, 16
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(0, 1, (B, T, H * D)).astype(np.float32))
+    mask = (
+        jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+        if masked
+        else jnp.zeros((T, T), jnp.float32)
+    )
+
+    def loss_fused(qkv):
+        return ((fused_attention(qkv, mask, H) - tgt) ** 2).sum()
+
+    def loss_xla(qkv):
+        return ((_xla_attention(qkv, mask, H) - tgt) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused)(qkv)
+    g_xla = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
+
+
+def test_clip_tower_with_fused_attention_matches_xla(tiny_clip):
+    """Full CLIP forwards (both towers, causal text mask included) give the
+    same features with the kernel on and off."""
+    model, params = tiny_clip
+    a = TINY_TEST
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(
+        rng.normal(0, 1, (2, a.image_resolution, a.image_resolution, 3)).astype(np.float32)
+    )
+    ids = np.zeros((3, a.context_length), np.int64)
+    ids[:, 0] = a.vocab_size - 2
+    ids[:, 1] = [5, 6, 7]
+    ids[:, 2] = a.vocab_size - 1
+    ids = jnp.asarray(ids.astype(np.int32))
+
+    set_fused_attention("off")
+    img_x = np.asarray(model.apply(params, images, method="encode_image"))
+    txt_x = np.asarray(model.apply(params, ids, method="encode_text"))
+    set_fused_attention("on")
+    img_f = np.asarray(model.apply(params, images, method="encode_image"))
+    txt_f = np.asarray(model.apply(params, ids, method="encode_text"))
+    np.testing.assert_allclose(img_f, img_x, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(txt_f, txt_x, rtol=2e-5, atol=2e-5)
+
+
+def test_vpt_train_step_grads_with_fused_attention(tiny_clip):
+    """Prompt gradients through the prompted vision tower match with the
+    kernel on and off (the custom VJP in the real training path)."""
+    from menghini_neurips23_tpu.models.prompts import vision_tokens_with_prefix
+
+    model, params = tiny_clip
+    a = TINY_TEST
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(
+        rng.normal(0, 1, (4, a.num_patches + 1, a.vision_width)).astype(np.float32)
+    )
+    prefix = jnp.asarray(rng.normal(0, 0.02, (3, a.vision_width)).astype(np.float32))
+
+    def loss(prefix):
+        x = vision_tokens_with_prefix(tokens, prefix)
+        img = model.apply(params, x, method="vision_encode_tokens")
+        return (img**2).sum()
+
+    set_fused_attention("off")
+    g_x = np.asarray(jax.grad(loss)(prefix))
+    set_fused_attention("on")
+    g_f = np.asarray(jax.grad(loss)(prefix))
+    np.testing.assert_allclose(g_f, g_x, rtol=1e-4, atol=1e-4)
