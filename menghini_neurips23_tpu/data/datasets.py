@@ -54,6 +54,13 @@ class FileListDataset:
         self.train = train
         self.transform = transform
         self.augmentations = augmentations
+        # aug1/aug2 transform hooks (reference data/dataset.py:40-46; always
+        # None in every reference run, but part of the dataset surface)
+        if augmentations:
+            self.aug1_transform, self.aug2_transform = augmentations[0], augmentations[1]
+        else:
+            self.aug1_transform = None
+            self.aug2_transform = None
         self.labels = list(labels) if labels is not None else None
         self.label_id = label_id
         self.label_map = label_map
@@ -67,6 +74,35 @@ class FileListDataset:
 
     def __len__(self) -> int:
         return len(self.filepaths)
+
+    def __getitem__(self, index: int):
+        """Reference-compatible per-item access (reference data/dataset.py:
+        55-88): (img, aug_1, aug_2[, label], basename).  The batch pipeline
+        (data/loader.py) never uses this - it exists for API parity and for
+        the aug1/aug2 transform hooks, which fall back to the base transform
+        exactly as the reference does."""
+        from PIL import Image
+
+        img = Image.open(self.filepaths[index]).convert("RGB")
+        aug_1 = self.aug1_transform(img) if self.aug1_transform is not None else None
+        aug_2 = self.aug2_transform(img) if self.aug2_transform is not None else None
+        if self.transform is not None:
+            base = self.transform(img)
+        else:
+            base = img
+        if aug_1 is None:
+            aug_1 = base
+        if aug_2 is None:
+            aug_2 = base
+        name = self.filepaths[index].split("/")[-1]
+        if self.labels is not None:
+            label = (
+                int(self.labels[index])
+                if self.label_id
+                else int(self.label_map[self.labels[index]])
+            )
+            return base, aug_1, aug_2, label, name
+        return base, aug_1, aug_2, name
 
     def label_ids(self) -> List[int]:
         """Labels as int ids (applying label_map unless already ids)."""

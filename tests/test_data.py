@@ -326,3 +326,24 @@ def test_bundled_split_jsons_match_regeneration():
         with open(os.path.join(split_dir, f"{ds}.json")) as f:
             bundled = json.load(f)
         assert generate_split_json(ds, "/nonexistent") == bundled, ds
+
+
+def test_getitem_reference_surface(tmp_path):
+    """Reference-compatible __getitem__: (img, aug1, aug2[, label], basename)
+    with aug transforms falling back to the base transform (reference
+    data/dataset.py:55-88)."""
+    from PIL import Image
+
+    d = tmp_path / "MNIST" / "train" / "0"
+    d.mkdir(parents=True)
+    Image.new("RGB", (8, 8), (10, 20, 30)).save(d / "img0.png")
+    DS = dataset_object("MNIST")
+    ds = DS(["train/0/img0.png"], str(tmp_path / "MNIST"), train=True,
+            labels=["0"], label_map={"0": 0},
+            transform=lambda im: "T", augmentations=[lambda im: "A1", None])
+    img, a1, a2, label, name = ds[0]
+    assert (img, a1, a2, label, name) == ("T", "A1", "T", 0, "img0.png")
+    ds2 = DS(["train/0/img0.png"], str(tmp_path / "MNIST"), train=True,
+             labels=None, label_map=None)
+    img, a1, a2, name = ds2[0]
+    assert name == "img0.png" and a1 is img and a2 is img
