@@ -159,19 +159,37 @@ def main():
     paths = [f"img_{i}.jpg" for i in range(POOL_N)]
 
     def run(seed):
+        """Returns (encode+leaderboard seconds, tune seconds, feats)."""
         t0 = time.perf_counter()
         probs, feats = pseudolabel_phase(params, prefix0, seed)
         probs_np = np.asarray(probs)
         leaderboard_top_k(probs_np, paths, PSEUDO_K, list(range(N_CLASSES)))
+        t1 = time.perf_counter()
         prefix, last_loss = tune_phase(params, prefix0, feats, labels, seed)
         np.asarray(prefix)  # force execution + fetch of the trained prompt
-        return time.perf_counter() - t0
+        return t1 - t0, time.perf_counter() - t1
 
     run(0)  # warmup: compile both phases
     times = [run(s) for s in (1, 2, 3)]
-    total_time = float(np.median(times))
+    t_encode = float(np.median([t[0] for t in times]))
+    t_tune = float(np.median([t[1] for t in times]))
+    total_time = t_encode + t_tune
     images_processed = POOL_N + EPOCHS * TRAIN_N
     value = images_processed / total_time
+
+    # MFU accounting (v5e peak ~197 bf16 TFLOPS).  Encode: full image tower
+    # per pool image.  Tune: text tower fwd + prompt-only bwd (~2x fwd) over
+    # N_CLASSES prompts per step - nearly-free by design (cached image
+    # features), which is exactly the optimization the headline measures.
+    PEAK_TFLOPS = 197.0
+    Wv, Lv, Tv = arch.vision_width, arch.vision_layers, arch.num_patches + 1
+    Wt, Lt, Tt = arch.transformer_width, arch.transformer_layers, arch.context_length
+    enc_flops_img = 2 * Tv * 12 * Wv * Wv * Lv
+    enc_mfu = (POOL_N * enc_flops_img / t_encode) / (PEAK_TFLOPS * 1e12)
+    txt_flops_step = 3 * N_CLASSES * (2 * Tt * 12 * Wt * Wt * Lt)
+    n_tune_steps = EPOCHS * (TRAIN_N // STEP_BATCH)
+    tune_mfu = (n_tune_steps * txt_flops_step / t_tune) / (PEAK_TFLOPS * 1e12)
+
     print(
         json.dumps(
             {
@@ -179,6 +197,11 @@ def main():
                 "value": round(value, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / A100_REFERENCE_EST_IMGS_PER_SEC, 2),
+                "encode_img_per_s": round(POOL_N / t_encode, 1),
+                "encode_mfu_pct": round(100 * enc_mfu, 1),
+                "train_imgstep_per_s": round(EPOCHS * TRAIN_N / t_tune, 1),
+                "train_text_tower_mfu_pct": round(100 * tune_mfu, 1),
+                "note": "vs_baseline divides by an ESTIMATED 1000 img/s A100 reference (it publishes no throughput)",
             }
         )
     )

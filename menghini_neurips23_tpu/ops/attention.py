@@ -9,10 +9,11 @@ tokens), so whole (T,T) score tiles live in VMEM: one kernel computes
 qk^T -> +mask -> fp32 softmax -> attn@v per batch block with no HBM
 round-trips and no layout transposes.
 
-Layout: the fused (B,T,3W) qkv projection is viewed as (B,T,3,W) (a free
-row-major split) and heads are STATIC LANE SLICES w[..., h*D:(h+1)*D] inside
-the kernel - TPU block shapes must be full (or (8,128)-divisible) in the last
-two dims, which rules out a (B,T,3,H,D) per-head block layout.
+Layout: the fused (B,T,3W) qkv projection is consumed as-is; q/k/v for head
+h are STATIC LANE SLICES at offsets h*D / W+h*D / 2W+h*D.  TPU block shapes
+must be full (or (8,128)-divisible) in the last two dims, and Mosaic cannot
+shape-cast away a middle dimension, which rules out (B,T,3,H,D) or (B,T,3,W)
+per-head block layouts.
 
 The backward pass is a second kernel (flash-style recompute of the softmax
 instead of saving (B,H,T,T) residuals):
@@ -35,77 +36,89 @@ from jax import lax
 
 
 def _pick_block(b: int, t: int, w: int) -> int:
-    # keep the kernel's VMEM working set (qkv block + out block) comfortable
-    budget = 6 * 1024 * 1024
+    import os
+
+    override = os.environ.get("MNT_ATTN_BB")
+    if override:
+        return min(int(override), b)
+    # keep the kernel's VMEM working set (qkv block + out block) comfortable;
+    # on-chip scan at ViT-B/32 shapes: bb=8 beat bb=4 (53.7 vs 56.0 ms/step)
+    # and bb=16 crashed the Mosaic compiler
+    budget = 12 * 1024 * 1024
     per_row = t * 4 * w * 4  # qkv(3W) + out(W), <=4 bytes/elem
     bb = max(1, budget // per_row)
-    for cand in (16, 8, 4, 2, 1):
+    for cand in (8, 4, 2, 1):
         if cand <= bb and b % cand == 0:
             return cand
     return 1
 
 
 def _fwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, out_ref):
-    D = qkv_ref.shape[-1] // heads
-    for i in range(bb):
-        for h in range(heads):
-            sl = slice(h * D, (h + 1) * D)
-            q = qkv_ref[i, :, 0, sl]
-            k = qkv_ref[i, :, 1, sl]
-            v = qkv_ref[i, :, 2, sl]
-            logits = (
-                lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-                + mask_ref[...]
+    W = qkv_ref.shape[-1] // 3
+    D = W // heads
+    for h in range(heads):
+        # batched (bb, T, D) dots: one MXU stream per head, pipelined over
+        # the batch dim (per-(sample,head) 2D dots serialize at ~1 tile-op
+        # per dot and bound the whole step - see module docstring)
+        q = qkv_ref[:, :, h * D : (h + 1) * D]
+        k = qkv_ref[:, :, W + h * D : W + (h + 1) * D]
+        v = qkv_ref[:, :, 2 * W + h * D : 2 * W + (h + 1) * D]
+        logits = (
+            lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
             )
-            attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-            out_ref[i, :, sl] = jnp.dot(
-                attn, v, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+            * scale
+            + mask_ref[...]
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out_ref[:, :, h * D : (h + 1) * D] = lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, g_ref, dqkv_ref):
-    D = qkv_ref.shape[-1] // heads
-    for i in range(bb):
-        for h in range(heads):
-            sl = slice(h * D, (h + 1) * D)
-            q = qkv_ref[i, :, 0, sl]
-            k = qkv_ref[i, :, 1, sl]
-            v = qkv_ref[i, :, 2, sl]
-            g = g_ref[i, :, sl]
-            logits = (
-                lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-                + mask_ref[...]
-            )
-            attn = jax.nn.softmax(logits, axis=-1)  # fp32 (T, T)
-            attn_lp = attn.astype(q.dtype)
-            # dv = attn^T @ g
-            dv = lax.dot_general(
-                attn_lp, g, (((0,), (0,)), ((), ())),
+    W = qkv_ref.shape[-1] // 3
+    D = W // heads
+    for h in range(heads):
+        q = qkv_ref[:, :, h * D : (h + 1) * D]
+        k = qkv_ref[:, :, W + h * D : W + (h + 1) * D]
+        v = qkv_ref[:, :, 2 * W + h * D : 2 * W + (h + 1) * D]
+        g = g_ref[:, :, h * D : (h + 1) * D]
+        logits = (
+            lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            # d(attn) = g @ v^T (fp32: softmax backward is precision-sensitive)
-            datt = lax.dot_general(
-                g, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = attn * (datt - jnp.sum(datt * attn, axis=-1, keepdims=True))
-            ds = (ds * scale).astype(q.dtype)
-            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-            dk = lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqkv_ref[i, :, 0, sl] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[i, :, 1, sl] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[i, :, 2, sl] = dv.astype(dqkv_ref.dtype)
+            * scale
+            + mask_ref[...]
+        )
+        attn = jax.nn.softmax(logits, axis=-1)  # fp32 (bb, T, T)
+        attn_lp = attn.astype(q.dtype)
+        # dv = attn^T @ g
+        dv = lax.dot_general(
+            attn_lp, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # d(attn) = g @ v^T (fp32: softmax backward is precision-sensitive)
+        datt = lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = attn * (datt - jnp.sum(datt * attn, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        dq = lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, h * D : (h + 1) * D] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, W + h * D : W + (h + 1) * D] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * W + h * D : 2 * W + (h + 1) * D] = dv.astype(dqkv_ref.dtype)
 
 
 def _specs(bb: int, t: int, w: int):
@@ -113,7 +126,7 @@ def _specs(bb: int, t: int, w: int):
     from jax.experimental.pallas import tpu as pltpu
 
     qkv_spec = pl.BlockSpec(
-        (bb, t, 3, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (bb, t, 3 * w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     mask_spec = pl.BlockSpec((t, t), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
@@ -141,7 +154,6 @@ def _fwd(qkv, mask, heads: int):
     B, T, threeW = qkv.shape
     W = threeW // 3
     D = W // heads
-    qkv4 = qkv.reshape(B, T, 3, W)  # free row-major split of the last dim
     bb = _pick_block(B, T, W)
     qkv_spec, mask_spec, out_spec = _specs(bb, T, W)
     out = pl.pallas_call(
@@ -151,7 +163,7 @@ def _fwd(qkv, mask, heads: int):
         in_specs=[qkv_spec, mask_spec],
         out_specs=out_spec,
         interpret=_interpret(),
-    )(qkv4, mask.astype(jnp.float32))
+    )(qkv, mask.astype(jnp.float32))
     return out, (qkv, mask)
 
 
@@ -162,18 +174,17 @@ def _bwd(heads: int, res, g):
     B, T, threeW = qkv.shape
     W = threeW // 3
     D = W // heads
-    qkv4 = qkv.reshape(B, T, 3, W)
     bb = _pick_block(B, T, W)
     qkv_spec, mask_spec, out_spec = _specs(bb, T, W)
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel, bb, heads, D**-0.5),
-        out_shape=jax.ShapeDtypeStruct((B, T, 3, W), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, threeW), qkv.dtype),
         grid=(B // bb,),
         in_specs=[qkv_spec, mask_spec, out_spec],
         out_specs=qkv_spec,
         interpret=_interpret(),
-    )(qkv4, mask.astype(jnp.float32), g)
-    return dqkv.reshape(B, T, threeW), jnp.zeros_like(mask)
+    )(qkv, mask.astype(jnp.float32), g)
+    return dqkv, jnp.zeros_like(mask)
 
 
 fused_attention.defvjp(_fwd, _bwd)
