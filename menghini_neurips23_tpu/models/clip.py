@@ -71,7 +71,9 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[str] = None) -> jnp.ndarray:
+        """mask is a STATIC spec: None or "causal" (trace-time constant, so
+        the fused kernel can skip mask work entirely when unmasked)."""
         B, T, W = x.shape
         H = self.heads
         D = W // H
@@ -87,12 +89,7 @@ class MultiHeadAttention(nn.Module):
             # custom VJP keeps jax.grad working (ops/attention.py)
             from menghini_neurips23_tpu.ops.attention import fused_attention
 
-            m = (
-                mask.astype(jnp.float32)
-                if mask is not None
-                else jnp.zeros((T, T), jnp.float32)
-            )
-            out = fused_attention(qkv, m, H)
+            out = fused_attention(qkv, mask, H)
             return nn.Dense(
                 W, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj"
             )(out)
@@ -102,8 +99,10 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         # fp32 logits + softmax for numerical parity headroom
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (D**-0.5)
-        if mask is not None:
-            logits = logits + mask
+        if mask == "causal":
+            logits = logits + jnp.triu(
+                jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1
+            )
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
@@ -117,7 +116,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[str] = None) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
@@ -139,7 +138,7 @@ class Transformer(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        mask: Optional[jnp.ndarray] = None,
+        mask: Optional[str] = None,
         deep_prompts: Optional[jnp.ndarray] = None,
         deep_start: int = 1,
     ) -> jnp.ndarray:
@@ -257,10 +256,6 @@ class TextTower(nn.Module):
             jnp.float32,
         )
 
-    def _causal_mask(self) -> jnp.ndarray:
-        T = self.arch.context_length
-        return jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
-
     def embed_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
         """(B, T) int token ids -> (B, T, width) embeddings, *without* pos emb."""
         return self.token_embedding(ids)
@@ -268,7 +263,7 @@ class TextTower(nn.Module):
     def encode_embeddings(self, x: jnp.ndarray, eot_idx: jnp.ndarray) -> jnp.ndarray:
         """(B, T, width) token embeddings + (B,) EOT positions -> (B, embed_dim)."""
         x = x.astype(self.dtype) + self.positional_embedding.astype(self.dtype)
-        x = self.transformer(x, self._causal_mask())
+        x = self.transformer(x, "causal")
         x = self.ln_final(x).astype(self.dtype)
         x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0, :]
         return x @ self.text_projection.astype(self.dtype)

@@ -53,7 +53,12 @@ def _pick_block(b: int, t: int, w: int) -> int:
     return 1
 
 
-def _fwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, out_ref):
+def _fwd_kernel(bb: int, heads: int, scale: float, has_mask: bool, *refs):
+    if has_mask:
+        qkv_ref, mask_ref, out_ref = refs
+    else:
+        qkv_ref, out_ref = refs
+        mask_ref = None
     W = qkv_ref.shape[-1] // 3
     D = W // heads
     for h in range(heads):
@@ -69,8 +74,9 @@ def _fwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, out_ref):
                 preferred_element_type=jnp.float32,
             )
             * scale
-            + mask_ref[...]
         )
+        if mask_ref is not None:
+            logits = logits + mask_ref[...]
         attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out_ref[:, :, h * D : (h + 1) * D] = lax.dot_general(
             attn, v, (((2,), (1,)), ((0,), (0,))),
@@ -78,7 +84,12 @@ def _fwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, out_ref):
         ).astype(out_ref.dtype)
 
 
-def _bwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, g_ref, dqkv_ref):
+def _bwd_kernel(bb: int, heads: int, scale: float, has_mask: bool, *refs):
+    if has_mask:
+        qkv_ref, mask_ref, g_ref, dqkv_ref = refs
+    else:
+        qkv_ref, g_ref, dqkv_ref = refs
+        mask_ref = None
     W = qkv_ref.shape[-1] // 3
     D = W // heads
     for h in range(heads):
@@ -92,8 +103,9 @@ def _bwd_kernel(bb: int, heads: int, scale: float, qkv_ref, mask_ref, g_ref, dqk
                 preferred_element_type=jnp.float32,
             )
             * scale
-            + mask_ref[...]
         )
+        if mask_ref is not None:
+            logits = logits + mask_ref[...]
         attn = jax.nn.softmax(logits, axis=-1)  # fp32 (bb, T, T)
         attn_lp = attn.astype(q.dtype)
         # dv = attn^T @ g
@@ -140,12 +152,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_attention(qkv, mask, heads: int):
-    """qkv: (B, T, 3W) fused projection; mask: (T, T) additive fp32 (zeros for
-    no masking, -inf upper triangle for causal).  Returns (B, T, W)."""
+    """qkv: (B, T, 3W) fused projection; mask: None for no masking or a
+    HASHABLE static mask spec - currently "causal".  Returns (B, T, W).
+
+    The mask is nondiff/static so unmasked towers (VPT vision) skip the mask
+    fetch + add entirely and masked ones bake the causal pattern as a kernel
+    constant."""
     out, _ = _fwd(qkv, mask, heads)
     return out
+
+
+def _mask_array(mask, t: int):
+    if mask is None:
+        return None
+    if mask == "causal":
+        return jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+    raise ValueError(f"unknown mask spec {mask!r}")
 
 
 def _fwd(qkv, mask, heads: int):
@@ -156,35 +180,40 @@ def _fwd(qkv, mask, heads: int):
     D = W // heads
     bb = _pick_block(B, T, W)
     qkv_spec, mask_spec, out_spec = _specs(bb, T, W)
+    m = _mask_array(mask, T)
+    in_specs = [qkv_spec] + ([mask_spec] if m is not None else [])
+    args = (qkv,) + ((m,) if m is not None else ())
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, bb, heads, D**-0.5),
+        functools.partial(_fwd_kernel, bb, heads, D**-0.5, m is not None),
         out_shape=jax.ShapeDtypeStruct((B, T, W), qkv.dtype),
         grid=(B // bb,),
-        in_specs=[qkv_spec, mask_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         interpret=_interpret(),
-    )(qkv, mask.astype(jnp.float32))
-    return out, (qkv, mask)
+    )(*args)
+    return out, qkv
 
 
-def _bwd(heads: int, res, g):
+def _bwd(mask, heads: int, qkv, g):
     from jax.experimental import pallas as pl
 
-    qkv, mask = res
     B, T, threeW = qkv.shape
     W = threeW // 3
     D = W // heads
     bb = _pick_block(B, T, W)
     qkv_spec, mask_spec, out_spec = _specs(bb, T, W)
+    m = _mask_array(mask, T)
+    in_specs = [qkv_spec] + ([mask_spec] if m is not None else []) + [out_spec]
+    args = (qkv,) + ((m,) if m is not None else ()) + (g,)
     dqkv = pl.pallas_call(
-        functools.partial(_bwd_kernel, bb, heads, D**-0.5),
+        functools.partial(_bwd_kernel, bb, heads, D**-0.5, m is not None),
         out_shape=jax.ShapeDtypeStruct((B, T, threeW), qkv.dtype),
         grid=(B // bb,),
-        in_specs=[qkv_spec, mask_spec, out_spec],
+        in_specs=in_specs,
         out_specs=qkv_spec,
         interpret=_interpret(),
-    )(qkv, mask.astype(jnp.float32), g)
-    return dqkv, jnp.zeros_like(mask)
+    )(*args)
+    return (dqkv,)
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -22,7 +22,8 @@ def _reset_mode():
 
 
 def _xla_attention(qkv, mask, heads):
-    """The models/clip.py XLA path, extracted (head-split + fp32 softmax)."""
+    """The models/clip.py XLA path, extracted (head-split + fp32 softmax).
+    mask: None or "causal" (matching the fused_attention static spec)."""
     B, T, threeW = qkv.shape
     W = threeW // 3
     D = W // heads
@@ -31,7 +32,8 @@ def _xla_attention(qkv, mask, heads):
     k = k.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (D**-0.5)
-    logits = logits + mask
+    if mask == "causal":
+        logits = logits + jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
     attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     return out.transpose(0, 2, 1, 3).reshape(B, T, W)
@@ -44,11 +46,7 @@ def test_fused_attention_forward_matches_xla(masked, bt):
     H, D = 4, 16
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)).astype(np.float32))
-    mask = (
-        jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
-        if masked
-        else jnp.zeros((T, T), jnp.float32)
-    )
+    mask = "causal" if masked else None
     ours = fused_attention(qkv, mask, H)
     want = _xla_attention(qkv, mask, H)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(want), rtol=1e-5, atol=1e-5)
@@ -60,11 +58,7 @@ def test_fused_attention_grads_match_xla(masked):
     rng = np.random.default_rng(1)
     qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)).astype(np.float32))
     tgt = jnp.asarray(rng.normal(0, 1, (B, T, H * D)).astype(np.float32))
-    mask = (
-        jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
-        if masked
-        else jnp.zeros((T, T), jnp.float32)
-    )
+    mask = "causal" if masked else None
 
     def loss_fused(qkv):
         return ((fused_attention(qkv, mask, H) - tgt) ** 2).sum()
