@@ -78,6 +78,11 @@ class MultimodalStrategy(TrainingStrategy):
         a = self.runtime.arch
         return (a.num_patches + 1) * a.vision_width * 4
 
+    def _fused_feats_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.runtime.compute_dtype == jnp.bfloat16 else None
+
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         return build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE

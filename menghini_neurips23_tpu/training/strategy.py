@@ -165,6 +165,13 @@ class TrainingStrategy:
         """Host bytes per cached feature item (for streaming decisions)."""
         raise NotImplementedError
 
+    def _fused_feats_dtype(self):
+        """Optional dtype for the device-resident fused training features.
+        Image-token modalities store bf16 when computing in bf16 (the tokens
+        re-enter the tower through a fp32 LayerNorm either way; the device
+        table + per-step gather traffic halve).  None = keep host dtype."""
+        return None
+
     def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
         """Cached frozen representation per image, through the byte-capped
         LRU.  Large inference pools pass cache=False and stream through."""
@@ -583,12 +590,14 @@ class TrainingStrategy:
             )
             self._fused_cache[key] = fn
 
-        feats_d = put(inp["feats"])
+        fdt = self._fused_feats_dtype()
+        feats_d = put(inp["feats"].astype(fdt) if fdt else inp["feats"])
         labels_d = put(inp["labels"])
         groups_d = put(inp["groups"])
         apply_flags = put(inp["apply_flags"])
         vals = (
-            put(inp["val_feats"]), put(inp["val_labels"]),
+            put(inp["val_feats"].astype(fdt) if fdt else inp["val_feats"]),
+            put(inp["val_labels"]),
             put(inp["val_global"]), put(val_is_seen),
         )
 

@@ -84,6 +84,11 @@ class VisualStrategy(TrainingStrategy):
         a = self.runtime.arch
         return (a.num_patches + 1) * a.vision_width * 4
 
+    def _fused_feats_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.runtime.compute_dtype == jnp.bfloat16 else None
+
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         """Frozen normalized text features for template prompts (reference
         visual_prompt.py:53-63 define_textual_prompts + encode_text)."""
