@@ -48,7 +48,11 @@ def main():
         @jax.jit
         def run(params, toks):
             def body(c, _):
-                f = model.apply(params, toks, method="vision_encode_tokens")
+                # carry feeds the input so XLA cannot hoist the pass out of
+                # the scan (loop-invariant code motion)
+                f = model.apply(
+                    params, toks + c * 1e-20, method="vision_encode_tokens"
+                )
                 return c + f.astype(jnp.float32).sum(), None
 
             c, _ = lax.scan(body, jnp.float32(0), None, length=REPS)

@@ -42,8 +42,11 @@ def _pick_block(b: int, t: int, w: int) -> int:
     if override:
         return min(int(override), b)
     # keep the kernel's VMEM working set (qkv block + out block) comfortable;
-    # on-chip scan at ViT-B/32 shapes: bb=8 beat bb=4 (53.7 vs 56.0 ms/step)
-    # and bb=16 crashed the Mosaic compiler
+    # on-chip scan at ViT-B/32 shapes: bb=8 beat bb=4 (53.7 vs 56.0 ms/step),
+    # bb=16 crashed the Mosaic compiler, and ViT-L/14 shapes (T=273, W=1024)
+    # only compile at bb=1 (measured 107 TFLOPS there)
+    if t * w >= 200_000:
+        return 1
     budget = 12 * 1024 * 1024
     per_row = t * 4 * w * 4  # qkv(3W) + out(W), <=4 bytes/elem
     bb = max(1, budget // per_row)
