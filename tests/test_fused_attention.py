@@ -39,8 +39,20 @@ def _xla_attention(qkv, mask, heads):
     return out.transpose(0, 2, 1, 3).reshape(B, T, W)
 
 
+def test_pick_block_choices():
+    """Block-size heuristic: measured sweet spots and safe fallbacks."""
+    from menghini_neurips23_tpu.ops.attention import _pick_block
+
+    assert _pick_block(256, 66, 768) == 8  # ViT-B/32 VPT shapes (measured best)
+    assert _pick_block(256, 50, 768) == 8  # ViT-B/32 encode shapes
+    assert _pick_block(128, 273, 1024) == 1  # ViT-L/14: only bb=1 compiles
+    assert _pick_block(5, 66, 768) == 1  # indivisible batch falls back to 1
+    assert _pick_block(6, 66, 768) == 2  # largest divisor among candidates
+    assert _pick_block(4, 66, 768) == 4
+
+
 @pytest.mark.parametrize("masked", [False, True])
-@pytest.mark.parametrize("bt", [(4, 10), (8, 66)])
+@pytest.mark.parametrize("bt", [(4, 10), (8, 66), (6, 77), (5, 13)])
 def test_fused_attention_forward_matches_xla(masked, bt):
     B, T = bt
     H, D = 4, 16
