@@ -35,7 +35,8 @@ REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 
 B = int(os.environ.get("ATTN_B", 256))
 T = int(os.environ.get("ATTN_T", 66))
-W, H = 768, 12
+W = int(os.environ.get("ATTN_W", 768))
+H = int(os.environ.get("ATTN_H", 12))
 D = W // H
 BF = jnp.bfloat16
 

@@ -93,7 +93,7 @@ class Config:
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
     HOST_CACHE_BYTES: int = 4_000_000_000  # byte cap for the per-image host feature LRU
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)
-    FUSED_ATTENTION: str = "auto"  # auto | on | off (Pallas fused attention kernel)
+    FUSED_ATTENTION: str = "auto"  # auto (kernel when scores are HBM-sized) | on | off
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...

@@ -55,12 +55,24 @@ def set_fused_attention(mode: str) -> None:
     _FUSED_ATTENTION = mode
 
 
-def _fused_attention_enabled() -> bool:
+# Auto-mode crossover, measured on v5e (benchmarks/exp_attn_kernels.py, grad
+# mode): XLA's head-split path wins while the fp32 (B,H,T,T) score tensor
+# stays cache-resident (<=13 MB measured), the Pallas kernel wins once it
+# spills to HBM (>=24 MB measured: 1.6-2x).  16 MiB splits the gap.  Keeps
+# tiny-batch towers (CoOp's C-class text tower, the UPT mixer) on XLA and
+# big-batch towers (vision train/encode) on the kernel.
+_AUTO_MIN_SCORE_BYTES = 16 * 1024 * 1024
+
+
+def _fused_attention_enabled(batch: int, heads: int, seq: int) -> bool:
     if _FUSED_ATTENTION == "on":
         return True
     if _FUSED_ATTENTION == "off":
         return False
-    return jax.default_backend() == "tpu"
+    return (
+        jax.default_backend() == "tpu"
+        and batch * heads * seq * seq * 4 >= _AUTO_MIN_SCORE_BYTES
+    )
 
 
 class MultiHeadAttention(nn.Module):
@@ -83,7 +95,7 @@ class MultiHeadAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * W,), jnp.float32)
         x = x.astype(self.dtype)
         qkv = x @ in_kernel.astype(self.dtype) + in_bias.astype(self.dtype)
-        if _fused_attention_enabled():
+        if _fused_attention_enabled(B, H, T):
             # Pallas fused qk^T -> fp32 softmax -> attn@v, consuming the fused
             # qkv directly (no head-split transposes, no HBM score tensor);
             # custom VJP keeps jax.grad working (ops/attention.py)
