@@ -64,6 +64,13 @@ def set_fused_attention(mode: str) -> None:
 _AUTO_MIN_SCORE_BYTES = 16 * 1024 * 1024
 
 
+def _auto_min_score_bytes() -> int:
+    import os
+
+    # tunable for other TPU generations (the cache/HBM balance moves)
+    return int(os.environ.get("MNT_ATTN_MIN_SCORE_BYTES", _AUTO_MIN_SCORE_BYTES))
+
+
 def _fused_attention_enabled(batch: int, heads: int, seq: int) -> bool:
     if _FUSED_ATTENTION == "on":
         return True
@@ -71,7 +78,7 @@ def _fused_attention_enabled(batch: int, heads: int, seq: int) -> bool:
         return False
     return (
         jax.default_backend() == "tpu"
-        and batch * heads * seq * seq * 4 >= _AUTO_MIN_SCORE_BYTES
+        and batch * heads * seq * seq * 4 >= _auto_min_score_bytes()
     )
 
 

@@ -39,6 +39,26 @@ def _xla_attention(qkv, mask, heads):
     return out.transpose(0, 2, 1, 3).reshape(B, T, W)
 
 
+def test_auto_dispatch_is_shape_aware(monkeypatch):
+    """Auto mode engages the kernel only where it measured faster: scores
+    >= 16 MiB (benchmarks/exp_attn_kernels.py crossover sweep)."""
+    from menghini_neurips23_tpu.models import clip as clip_mod
+
+    monkeypatch.setattr(clip_mod.jax, "default_backend", lambda: "tpu")
+    set_fused_attention("auto")
+    assert clip_mod._fused_attention_enabled(256, 12, 66)  # VPT train: 53 MB
+    assert clip_mod._fused_attention_enabled(256, 12, 50)  # encode: 31 MB
+    assert not clip_mod._fused_attention_enabled(10, 8, 77)  # CoOp text: 2 MB
+    assert not clip_mod._fused_attention_enabled(4, 1, 2)  # UPT mixer
+    monkeypatch.setenv("MNT_ATTN_MIN_SCORE_BYTES", "1")
+    assert clip_mod._fused_attention_enabled(4, 1, 2)  # env-tunable crossover
+    monkeypatch.delenv("MNT_ATTN_MIN_SCORE_BYTES")
+    monkeypatch.setattr(clip_mod.jax, "default_backend", lambda: "cpu")
+    assert not clip_mod._fused_attention_enabled(256, 12, 66)  # never off-TPU
+    set_fused_attention("on")
+    assert clip_mod._fused_attention_enabled(1, 1, 2)  # forced (tests)
+
+
 def test_pick_block_choices():
     """Block-size heuristic: measured sweet spots and safe fallbacks."""
     from menghini_neurips23_tpu.ops.attention import _pick_block
