@@ -155,6 +155,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compiler_params(bb: int, t: int, w: int):
+    """Raise Mosaic's scoped-VMEM limit (default 16 MB) ONLY for blocks that
+    need it (e.g. MNT_ATTN_BB-forced bb>=2 at ViT-L/14 shapes, whose bwd dqkv
+    stack exceeds 16 MB).  Never raise it for the shipped block sizes: a
+    blanket 100 MB limit measurably hurts pipelining (ship/grad at ViT-B/32
+    shapes regressed 1336 -> 1643 us/layer when it was applied everywhere)."""
+    if _interpret():
+        return None
+    if bb * t * 4 * w * 4 <= 12 * 1024 * 1024:  # fp32 qkv+out stack estimate
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_attention(qkv, mask, heads: int):
     """qkv: (B, T, 3W) fused projection; mask: None for no masking or a
@@ -192,6 +207,7 @@ def _fwd(qkv, mask, heads: int):
         grid=(B // bb,),
         in_specs=in_specs,
         out_specs=out_spec,
+        compiler_params=_compiler_params(bb, T, W),
         interpret=_interpret(),
     )(*args)
     return out, qkv
@@ -214,6 +230,7 @@ def _bwd(mask, heads: int, qkv, g):
         grid=(B // bb,),
         in_specs=in_specs,
         out_specs=qkv_spec,
+        compiler_params=_compiler_params(bb, T, W),
         interpret=_interpret(),
     )(*args)
     return (dqkv,)
