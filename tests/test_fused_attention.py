@@ -59,6 +59,19 @@ def test_auto_dispatch_is_shape_aware(monkeypatch):
     assert clip_mod._fused_attention_enabled(1, 1, 2)  # forced (tests)
 
 
+def test_compiler_params_gate(monkeypatch):
+    """The scoped-VMEM raise applies only to oversized (env-forced) blocks;
+    shipped block sizes keep Mosaic's stock limit (a blanket raise measurably
+    hurt pipelining - see ops/attention.py:_compiler_params)."""
+    from menghini_neurips23_tpu.ops import attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_interpret", lambda: False)
+    assert attn_mod._compiler_params(8, 66, 768) is None  # shipped ViT-B/32
+    assert attn_mod._compiler_params(1, 273, 1024) is None  # shipped ViT-L/14
+    big = attn_mod._compiler_params(4, 273, 1024)  # forced via MNT_ATTN_BB
+    assert big is not None and big.vmem_limit_bytes == 100 * 1024 * 1024
+
+
 def test_pick_block_choices():
     """Block-size heuristic: measured sweet spots and safe fallbacks."""
     from menghini_neurips23_tpu.ops.attention import _pick_block
