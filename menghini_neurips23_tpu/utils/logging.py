@@ -9,11 +9,29 @@ import os
 import sys
 
 
+def _is_main_process() -> bool:
+    """jax.process_index() == 0, WITHOUT triggering (or re-entering) backend
+    initialization.
+
+    The first log record typically arrives before any device work; calling
+    jax.process_index() then would start backend init, and if the platform
+    plugin itself logs during init (the axon tunnel does, and TPU drivers
+    can), the nested emit re-enters jax's non-reentrant backend lock and
+    DEADLOCKS the process (observed: the CLI hung forever at its first log
+    line on the axon backend).  Until a backend exists we answer from the
+    launcher env instead - the same rank source initialize_from_env uses."""
+    from jax._src import xla_bridge as xb
+
+    if not xb.backends_are_initialized():
+        return int(os.environ.get("JAX_PROCESS_ID", "0") or 0) == 0
+    import jax
+
+    return jax.process_index() == 0
+
+
 class MainProcessHandler(logging.StreamHandler):
     def emit(self, record):
-        import jax
-
-        if jax.process_index() == 0:
+        if _is_main_process():
             super().emit(record)
 
 

@@ -87,3 +87,29 @@ def test_bundled_config_resolution(tmp_path, monkeypatch):
     assert cfg.N_PSEUDOSHOTS == 16
     assert cfg.STEP_QUANTILE == 10
     assert cfg.PROMPT_TEMPLATE == "a photo of a {}"
+
+
+def test_main_process_logging_never_initializes_backend(monkeypatch):
+    """The rank-0 handler must not touch jax.process_index() before a backend
+    exists: the first log record arrives pre-init, and platform plugins that
+    log during backend init (axon, TPU drivers) would re-enter jax's backend
+    lock through the nested emit and deadlock (observed on-chip)."""
+    import jax
+    from jax._src import xla_bridge as xb
+
+    from menghini_neurips23_tpu.utils.logging import _is_main_process
+
+    def boom():
+        raise AssertionError("touched the backend before it was initialized")
+
+    monkeypatch.setattr(xb, "backends_are_initialized", lambda: False)
+    monkeypatch.setattr(jax, "process_index", boom)
+    assert _is_main_process()  # pre-backend: rank from launcher env (default 0)
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    assert not _is_main_process()
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    monkeypatch.setattr(xb, "backends_are_initialized", lambda: True)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert not _is_main_process()  # post-backend: the real process index
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert _is_main_process()
