@@ -31,6 +31,9 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    from menghini_neurips23_tpu.utils.logging import set_process_rank
+
+    set_process_rank(process_id if process_id is not None else jax.process_index())
     log.info(
         "distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

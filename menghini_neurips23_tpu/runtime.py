@@ -73,6 +73,11 @@ class ClipRuntime:
         # keeps them data-sharded (all shards are addressable anyway)
         self._pc = jax.process_count()
         self._pi = jax.process_index()
+        # the backend exists now: give the jax-free logging handler the
+        # authoritative rank (see utils/logging.py module docstring)
+        from menghini_neurips23_tpu.utils.logging import set_process_rank
+
+        set_process_rank(self._pi)
         from menghini_neurips23_tpu.parallel import replicated
 
         self._osh = replicated(self.mesh) if self._pc > 1 else self._dsh

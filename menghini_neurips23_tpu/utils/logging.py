@@ -1,32 +1,40 @@
 """Process-0 logging (reference main_SSL.py:49-61 AccelerateHandler + per-run
-FileHandler, :475-481).  jax.process_index()==0 replaces
-accelerator.is_local_main_process."""
+FileHandler, :475-481).  The process rank replaces
+accelerator.is_local_main_process.
+
+The handler must NEVER call into jax: the first log record typically arrives
+before any device work, so a jax.process_index() call here would *start*
+backend initialization - and jax logs a warning mid-init on experimental
+platforms (the axon tunnel does), which re-enters this handler and deadlocks
+on jax's non-reentrant backend lock (observed on-chip; jax even marks its
+init state before emitting that warning, so "is the backend up yet" guards
+still deadlock).  Instead the rank is a module global: the launcher env
+provides it pre-device (the same JAX_PROCESS_ID initialize_from_env reads),
+and ClipRuntime/initialize_from_env confirm it from jax once a backend
+actually exists via set_process_rank().
+"""
 
 from __future__ import annotations
 
 import logging
 import os
 import sys
+from typing import Optional
+
+_RANK: Optional[int] = None
+
+
+def set_process_rank(rank: int) -> None:
+    """Record the authoritative process rank (called by ClipRuntime and
+    initialize_from_env once it is known without risk)."""
+    global _RANK
+    _RANK = int(rank)
 
 
 def _is_main_process() -> bool:
-    """jax.process_index() == 0, WITHOUT triggering (or re-entering) backend
-    initialization.
-
-    The first log record typically arrives before any device work; calling
-    jax.process_index() then would start backend init, and if the platform
-    plugin itself logs during init (the axon tunnel does, and TPU drivers
-    can), the nested emit re-enters jax's non-reentrant backend lock and
-    DEADLOCKS the process (observed: the CLI hung forever at its first log
-    line on the axon backend).  Until a backend exists we answer from the
-    launcher env instead - the same rank source initialize_from_env uses."""
-    from jax._src import xla_bridge as xb
-
-    if not xb.backends_are_initialized():
-        return int(os.environ.get("JAX_PROCESS_ID", "0") or 0) == 0
-    import jax
-
-    return jax.process_index() == 0
+    if _RANK is not None:
+        return _RANK == 0
+    return int(os.environ.get("JAX_PROCESS_ID", "0") or 0) == 0
 
 
 class MainProcessHandler(logging.StreamHandler):
