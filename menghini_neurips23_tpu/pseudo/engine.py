@@ -50,6 +50,11 @@ def leaderboard_top_k(
     if k == LABEL_ALL:
         preds = probs.argmax(axis=1)
         return list(filepaths), [class_ids[j] for j in preds]
+    if k <= 0:
+        # degenerate budget (e.g. a GRIP quantile schedule on a tiny pool):
+        # select nothing rather than index an empty board (the reference
+        # crashes here, clip_pseudolabels.py:78 top_k[-1] on an empty list)
+        return [], []
 
     argmax = probs.argmax(axis=1)
 
@@ -128,7 +133,11 @@ def compute_pseudo_labels(
         "device" = one lax.top_k on device (pseudo/device_topk.py)
     """
     class_ids = [label_to_idx[c] for c in classnames]
-    if method == "device":
+    if k <= 0:
+        method = "none"  # degenerate budget: select nothing (either backend)
+    if method == "none":
+        new_imgs, new_labels = [], []
+    elif method == "device":
         from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
         new_imgs, new_labels = device_topk(probs, dataset.filepaths, k, class_ids)

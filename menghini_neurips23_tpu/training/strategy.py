@@ -922,9 +922,12 @@ class TrainingStrategy:
         which together give N(k) = int(k*num_samples/n_unseen) capped by the
         pool)."""
         n_per_class = int(k * num_samples / n_unseen)
-        if n_per_class * n_unseen <= pool:
-            return n_per_class
-        return math.floor(pool / n_unseen)
+        if n_per_class * n_unseen > pool:
+            n_per_class = math.floor(pool / n_unseen)
+        # degenerate pools (fewer samples than iterations x classes) would
+        # schedule 0 pseudoshots per class and train on nothing; take at
+        # least 1 (the reference's real configs never hit this regime)
+        return max(1, n_per_class)
 
     def _iterative_train(self, train_data, val_data, unlabeled_data, grow: bool):
         from menghini_neurips23_tpu.checkpoint import (

@@ -231,3 +231,37 @@ def test_native_leaderboard_tie_breaks():
         )
         got = ([paths[i] for i in idx], [class_ids[j] for j in cols])
         assert list(got) == list(want), seed
+
+
+def test_leaderboard_zero_budget_selects_nothing():
+    """k<=0 (a GRIP quantile schedule on a tiny pool) must select nothing,
+    not crash indexing an empty board (the reference's latent IndexError at
+    clip_pseudolabels.py:78)."""
+    import numpy as np
+
+    from menghini_neurips23_tpu.pseudo.engine import leaderboard_top_k
+
+    probs = np.random.default_rng(0).random((6, 3))
+    probs /= probs.sum(1, keepdims=True)
+    paths = [f"p{i}" for i in range(6)]
+    assert leaderboard_top_k(probs, paths, 0, [0, 1, 2]) == ([], [])
+    assert leaderboard_top_k(probs, paths, -1, [0, 1, 2]) == ([], [])
+
+
+def test_grip_schedule_clamps_degenerate_pools():
+    """A pool smaller than iterations x classes schedules >=1 pseudoshot per
+    class instead of 0 (which trained on nothing and crashed the selector)."""
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.training.strategy import TrainingStrategy
+
+    shots = TrainingStrategy._grip_pseudoshots
+    class S:  # no strategy state needed
+        pass
+
+    # reference-scale pool: unchanged schedule
+    assert shots(S(), 1, 1638, 10, 16384) == 163
+    assert shots(S(), 10, 1638, 10, 16384) == 1638
+    # tiny pool (12 imgs, 10 iterations, 3 classes): int(1*1/3)=0 -> clamp
+    assert shots(S(), 1, 1, 3, 12) == 1
+    # cap by pool still applies before the clamp
+    assert shots(S(), 10, 1638, 10, 64) == 6
