@@ -21,12 +21,18 @@ import yaml
 
 # Env vars the reference launcher scripts export (reference scripts/run_prompts_ssl.sh:9-23)
 _ENV_KEYS = {
+    # the reference's launcher protocol (scripts/run_prompts_ssl.sh:9-23)
     "OPTIM_SEED": int,
     "VIS_ENCODER": str,
     "DATASET_NAME": str,
     "DATASET_DIR": str,
     "MODEL": str,
     "SPLIT_SEED": int,
+    # this framework's operational assets/knobs (REPRODUCE.md exports these;
+    # without env pickup a real-assets run would silently use random weights)
+    "CLIP_CKPT": str,
+    "BPE_PATH": str,
+    "PROFILE_DIR": str,
 }
 
 

@@ -242,5 +242,13 @@ def main_template(workflow, argv=None, env=None):
         import jax
 
         with jax.profiler.trace(cfg.PROFILE_DIR):
-            return workflow(cfg.DATASET_DIR, cfg)
+            result = workflow(cfg.DATASET_DIR, cfg)
+        if not any(Path(cfg.PROFILE_DIR).rglob("*.xplane.pb")):
+            # some backends (e.g. remote-tunnel TPUs) capture nothing; say so
+            # instead of leaving the user to discover an empty directory
+            log.warning(
+                "PROFILE_DIR=%s: jax.profiler.trace wrote no trace events on "
+                "backend %r", cfg.PROFILE_DIR, jax.default_backend(),
+            )
+        return result
     return workflow(cfg.DATASET_DIR, cfg)

@@ -111,3 +111,24 @@ def test_main_process_logging_never_touches_jax(monkeypatch):
     assert not mlog._is_main_process()
     mlog.set_process_rank(0)
     assert mlog._is_main_process()
+
+
+def test_operational_env_keys_reach_config():
+    """REPRODUCE.md exports CLIP_CKPT/BPE_PATH (and PROFILE_DIR for traces);
+    Config must pick them up from env like the reference's launcher vars —
+    previously they were silently ignored and a real-assets run would have
+    used random weights."""
+    from menghini_neurips23_tpu.config import Config
+
+    cfg = Config.from_dict(
+        {},
+        env={
+            "MODEL": "textual_prompt",
+            "CLIP_CKPT": "/w/vitb32.npz",
+            "BPE_PATH": "/w/bpe.txt.gz",
+            "PROFILE_DIR": "/tmp/prof",
+        },
+    )
+    assert cfg.CLIP_CKPT == "/w/vitb32.npz"
+    assert cfg.BPE_PATH == "/w/bpe.txt.gz"
+    assert cfg.PROFILE_DIR == "/tmp/prof"
