@@ -33,6 +33,7 @@ _ENV_KEYS = {
     "CLIP_CKPT": str,
     "BPE_PATH": str,
     "PROFILE_DIR": str,
+    "COMPILE_CACHE_DIR": str,
 }
 
 
@@ -95,6 +96,7 @@ class Config:
     CHECKPOINT_ITER: bool = True  # orbax-checkpoint each IFPL/GRIP iteration
     RESUME: bool = True  # resume IFPL/GRIP from the latest iteration checkpoint
     PROFILE_DIR: str = ""  # write a jax.profiler trace of the run here
+    COMPILE_CACHE_DIR: str = ""  # persistent XLA compile cache dir (or set JAX_COMPILATION_CACHE_DIR)
     PSEUDO_TOPK: str = "exact"  # exact (reference leaderboard) | device (lax.top_k fast path)
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
     HOST_CACHE_BYTES: int = 4_000_000_000  # byte cap for the per-image host feature LRU

@@ -237,6 +237,13 @@ def main_template(workflow, argv=None, env=None):
     initialize_from_env()
     setup_logging(cfg)
     seed_everything(cfg)
+    if cfg.COMPILE_CACHE_DIR:
+        # persistent XLA compilation cache: a repeat run with the same
+        # program shapes (the 5-seed production grid) skips every compile -
+        # measured 638 s -> 77 s per CLI run through the remote-TPU tunnel
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cfg.COMPILE_CACHE_DIR)
     if cfg.PROFILE_DIR:
         # tracing/profiling subsystem (absent in the reference, SURVEY.md §5.1)
         import jax
