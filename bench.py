@@ -46,7 +46,16 @@ PREFIX_LEN = 16
 
 
 def main():
+    import os
+
     import jax
+
+    # content-addressed persistent compile cache: repeat bench runs (and the
+    # driver's round-end run) skip the 2 remote compiles when unchanged
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
+    )
     import jax.numpy as jnp
 
     from menghini_neurips23_tpu.models import VIT_B32, init_clip_params
