@@ -22,6 +22,14 @@ import jax
 # initialized.  Tests must run on CPU: TPU fp32 matmuls use bf16 MXU passes
 # that break the tight numeric tolerances asserted here.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-dominated, and repeat runs
+# with a warm cache drop 610s -> 371s (content-addressed, safe across edits).
+# Must go through jax.config (not env): sitecustomize imports jax before this
+# file, and the env var is only read at import time.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_tpu_test_jax_cache"),
+)
 if len(jax.devices()) < 8:  # pragma: no cover - depends on XLA_FLAGS timing
     raise RuntimeError(
         "tests require 8 virtual CPU devices; XLA_FLAGS was applied too late"
