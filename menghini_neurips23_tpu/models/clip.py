@@ -71,14 +71,26 @@ def _auto_min_score_bytes() -> int:
     return int(os.environ.get("MNT_ATTN_MIN_SCORE_BYTES", _AUTO_MIN_SCORE_BYTES))
 
 
+# The crossover is a PER-DEVICE property (cache residency of that device's
+# score shard), but trace-time shapes are global; ClipRuntime records the
+# data-parallel shard count so auto mode can size per-device.
+_DATA_SHARDS = 1
+
+
+def set_attention_data_shards(n: int) -> None:
+    global _DATA_SHARDS
+    _DATA_SHARDS = max(1, int(n))
+
+
 def _fused_attention_enabled(batch: int, heads: int, seq: int) -> bool:
     if _FUSED_ATTENTION == "on":
         return True
     if _FUSED_ATTENTION == "off":
         return False
+    per_device_batch = max(1, batch // _DATA_SHARDS)
     return (
         jax.default_backend() == "tpu"
-        and batch * heads * seq * seq * 4 >= _auto_min_score_bytes()
+        and per_device_batch * heads * seq * seq * 4 >= _auto_min_score_bytes()
     )
 
 

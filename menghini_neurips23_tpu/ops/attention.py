@@ -40,7 +40,13 @@ def _pick_block(b: int, t: int, w: int) -> int:
 
     override = os.environ.get("MNT_ATTN_BB")
     if override:
-        return min(int(override), b)
+        # grid=(B // bb,) drops remainder rows, so a non-divisor override
+        # would silently leave output rows unwritten - snap down to the
+        # largest divisor of b instead
+        bb = max(1, min(int(override), b))
+        while b % bb:
+            bb -= 1
+        return bb
     # keep the kernel's VMEM working set (qkv block + out block) comfortable;
     # on-chip scan at ViT-B/32 shapes: bb=8 beat bb=4 (53.7 vs 56.0 ms/step),
     # bb=16 crashed the Mosaic compiler, and ViT-L/14 shapes (T=273, W=1024)
@@ -155,15 +161,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _compiler_params(bb: int, t: int, w: int):
+def _compiler_params(bb: int, t: int, w: int, itemsize: int):
     """Raise Mosaic's scoped-VMEM limit (default 16 MB) ONLY for blocks that
-    need it (e.g. MNT_ATTN_BB-forced bb>=2 at ViT-L/14 shapes, whose bwd dqkv
-    stack exceeds 16 MB).  Never raise it for the shipped block sizes: a
-    blanket 100 MB limit measurably hurts pipelining (ship/grad at ViT-B/32
-    shapes regressed 1336 -> 1643 us/layer when it was applied everywhere)."""
+    need it (e.g. MNT_ATTN_BB-forced bb>=2 at ViT-L/14 shapes).  Never raise
+    it for the shipped block sizes: a blanket 100 MB limit measurably hurts
+    pipelining (ship/grad at ViT-B/32 shapes regressed 1336 -> 1643 us/layer
+    when it was applied everywhere).
+
+    The estimate models the BWD kernel (the larger of the two): block refs
+    qkv(3W)+g(W)+dqkv(3W) = 7W/row in the input dtype, plus ~3 fp32 (bb,T,T)
+    score-shaped scratch tensors, all doubled for Mosaic's pipelining
+    buffers.  Calibration: bb=2 @ ViT-L/14 bf16 -> ~19 MB (measured Mosaic
+    failure: 16.16 MB needed vs 16 MB limit); bb=8 @ ViT-B/32 bf16 -> ~12 MB
+    (compiles and stays fast under the stock limit)."""
     if _interpret():
         return None
-    if bb * t * 4 * w * 4 <= 12 * 1024 * 1024:  # fp32 qkv+out stack estimate
+    per_row = t * (7 * w * itemsize + 12 * t)
+    if 2 * bb * per_row <= 14 * 1024 * 1024:
         return None
     from jax.experimental.pallas import tpu as pltpu
 
@@ -207,7 +221,7 @@ def _fwd(qkv, mask, heads: int):
         grid=(B // bb,),
         in_specs=in_specs,
         out_specs=out_spec,
-        compiler_params=_compiler_params(bb, T, W),
+        compiler_params=_compiler_params(bb, T, W, qkv.dtype.itemsize),
         interpret=_interpret(),
     )(*args)
     return out, qkv
@@ -230,7 +244,7 @@ def _bwd(mask, heads: int, qkv, g):
         grid=(B // bb,),
         in_specs=in_specs,
         out_specs=qkv_spec,
-        compiler_params=_compiler_params(bb, T, W),
+        compiler_params=_compiler_params(bb, T, W, qkv.dtype.itemsize),
         interpret=_interpret(),
     )(*args)
     return (dqkv,)

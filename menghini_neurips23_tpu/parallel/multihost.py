@@ -26,14 +26,18 @@ def initialize_distributed(
     """Initialize the JAX process group (no-op on a single host)."""
     if num_processes is None or num_processes <= 1:
         return
+    from menghini_neurips23_tpu.utils.logging import set_process_rank
+
+    if process_id is not None:
+        # known before init: set it now so records logged DURING
+        # jax.distributed.initialize are already rank-0-filtered
+        set_process_rank(process_id)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
-    from menghini_neurips23_tpu.utils.logging import set_process_rank
-
-    set_process_rank(process_id if process_id is not None else jax.process_index())
+    set_process_rank(jax.process_index())
     log.info(
         "distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

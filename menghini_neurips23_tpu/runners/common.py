@@ -248,11 +248,14 @@ def main_template(workflow, argv=None, env=None):
         # tracing/profiling subsystem (absent in the reference, SURVEY.md §5.1)
         import jax
 
+        profile_root = Path(cfg.PROFILE_DIR)
+        before = set(map(str, profile_root.rglob("*.xplane.pb")))
         with jax.profiler.trace(cfg.PROFILE_DIR):
             result = workflow(cfg.DATASET_DIR, cfg)
-        if not any(Path(cfg.PROFILE_DIR).rglob("*.xplane.pb")):
-            # some backends (e.g. remote-tunnel TPUs) capture nothing; say so
-            # instead of leaving the user to discover an empty directory
+        if not set(map(str, profile_root.rglob("*.xplane.pb"))) - before:
+            # some backends capture nothing; say so instead of leaving the
+            # user to discover no NEW trace (stale traces from earlier runs
+            # in the same dir must not mask this)
             log.warning(
                 "PROFILE_DIR=%s: jax.profiler.trace wrote no trace events on "
                 "backend %r", cfg.PROFILE_DIR, jax.default_backend(),

@@ -67,6 +67,10 @@ class ClipRuntime:
             tokenizer = get_tokenizer(cfg.BPE_PATH or None)
         self.tokenizer = tokenizer
         self._dp = data_parallelism(self.mesh)
+        # auto attention dispatch sizes the score tensor PER DEVICE
+        from menghini_neurips23_tpu.models.clip import set_attention_data_shards
+
+        set_attention_data_shards(self._dp)
         self._dsh = data_sharding(self.mesh)
         # multi-controller: every host must read full results -> replicate
         # batched-pass outputs (an XLA all-gather over ICI/DCN); single host

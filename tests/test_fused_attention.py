@@ -45,6 +45,9 @@ def test_auto_dispatch_is_shape_aware(monkeypatch):
     from menghini_neurips23_tpu.models import clip as clip_mod
 
     monkeypatch.setattr(clip_mod.jax, "default_backend", lambda: "tpu")
+    # earlier tests' ClipRuntime(mesh) calls set_attention_data_shards: pin
+    # the single-device sizing this test's expectations assume
+    monkeypatch.setattr(clip_mod, "_DATA_SHARDS", 1)
     set_fused_attention("auto")
     assert clip_mod._fused_attention_enabled(256, 12, 66)  # VPT train: 53 MB
     assert clip_mod._fused_attention_enabled(256, 12, 50)  # encode: 31 MB
@@ -53,6 +56,12 @@ def test_auto_dispatch_is_shape_aware(monkeypatch):
     monkeypatch.setenv("MNT_ATTN_MIN_SCORE_BYTES", "1")
     assert clip_mod._fused_attention_enabled(4, 1, 2)  # env-tunable crossover
     monkeypatch.delenv("MNT_ATTN_MIN_SCORE_BYTES")
+    # the crossover is per-DEVICE: a global batch sharded 8-way data-parallel
+    # leaves each device's scores cache-resident, where XLA wins
+    monkeypatch.setattr(clip_mod, "_DATA_SHARDS", 8)
+    assert not clip_mod._fused_attention_enabled(256, 12, 66)  # 6.7 MB/dev
+    assert clip_mod._fused_attention_enabled(2048, 12, 66)  # 53 MB/dev
+    monkeypatch.setattr(clip_mod, "_DATA_SHARDS", 1)
     monkeypatch.setattr(clip_mod.jax, "default_backend", lambda: "cpu")
     assert not clip_mod._fused_attention_enabled(256, 12, 66)  # never off-TPU
     set_fused_attention("on")
@@ -66,10 +75,13 @@ def test_compiler_params_gate(monkeypatch):
     from menghini_neurips23_tpu.ops import attention as attn_mod
 
     monkeypatch.setattr(attn_mod, "_interpret", lambda: False)
-    assert attn_mod._compiler_params(8, 66, 768) is None  # shipped ViT-B/32
-    assert attn_mod._compiler_params(1, 273, 1024) is None  # shipped ViT-L/14
-    big = attn_mod._compiler_params(4, 273, 1024)  # forced via MNT_ATTN_BB
+    assert attn_mod._compiler_params(8, 66, 768, 2) is None  # shipped ViT-B/32 bf16
+    assert attn_mod._compiler_params(1, 273, 1024, 2) is None  # shipped ViT-L/14 bf16
+    # bb=2 @ L/14 bf16 is the measured Mosaic failure (16.16 MB vs 16 MB):
+    # the bwd working set (7W refs + fp32 scores, double-buffered) needs the raise
+    big = attn_mod._compiler_params(2, 273, 1024, 2)  # forced via MNT_ATTN_BB
     assert big is not None and big.vmem_limit_bytes == 100 * 1024 * 1024
+    assert attn_mod._compiler_params(4, 273, 1024, 2) is not None
 
 
 def test_pick_block_choices():
@@ -82,6 +94,20 @@ def test_pick_block_choices():
     assert _pick_block(5, 66, 768) == 1  # indivisible batch falls back to 1
     assert _pick_block(6, 66, 768) == 2  # largest divisor among candidates
     assert _pick_block(4, 66, 768) == 4
+
+
+def test_pick_block_env_override_snaps_to_divisor(monkeypatch):
+    """MNT_ATTN_BB must never leave remainder rows unwritten (grid drops
+    B % bb): a non-divisor override snaps down to the largest divisor."""
+    from menghini_neurips23_tpu.ops.attention import _pick_block
+
+    monkeypatch.setenv("MNT_ATTN_BB", "8")
+    assert _pick_block(256, 66, 768) == 8
+    assert _pick_block(100, 66, 768) == 5  # largest divisor of 100 <= 8
+    assert _pick_block(6, 66, 768) == 6
+    assert _pick_block(7, 66, 768) == 7
+    monkeypatch.setenv("MNT_ATTN_BB", "3")
+    assert _pick_block(256, 66, 768) == 2
 
 
 @pytest.mark.parametrize("masked", [False, True])
