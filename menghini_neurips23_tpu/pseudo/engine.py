@@ -134,8 +134,7 @@ def compute_pseudo_labels(
     """
     class_ids = [label_to_idx[c] for c in classnames]
     if k <= 0:
-        method = "none"  # degenerate budget: select nothing (either backend)
-    if method == "none":
+        # degenerate budget: select nothing, whichever backend was asked for
         new_imgs, new_labels = [], []
     elif method == "device":
         from menghini_neurips23_tpu.pseudo.device_topk import device_topk
