@@ -150,3 +150,18 @@ def test_compile_cache_dir_reaches_jax_config(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_doctor_reports_all_subsystems(capsys, monkeypatch, tmp_path):
+    """`python -m menghini_neurips23_tpu.doctor` prints one line per
+    subsystem and exits 0 regardless of what's missing."""
+    from menghini_neurips23_tpu import doctor
+
+    monkeypatch.setenv("CLIP_CKPT", str(tmp_path / "missing.npz"))
+    monkeypatch.setenv("DATASET_DIR", str(tmp_path))
+    assert doctor.main() == 0
+    out = capsys.readouterr().out
+    for name in ("backend", "clip weights", "tokenizer", "native loader",
+                 "native leaderboard", "compile cache", "dataset dir"):
+        assert name in out
+    assert "DOES NOT EXIST" in out  # bad CLIP_CKPT is called out
