@@ -98,6 +98,7 @@ class Config:
     PROFILE_DIR: str = ""  # write a jax.profiler trace of the run here
     COMPILE_CACHE_DIR: str = ""  # persistent XLA compile cache dir (or set JAX_COMPILATION_CACHE_DIR)
     PSEUDO_TOPK: str = "exact"  # exact (reference leaderboard) | device (lax.top_k fast path)
+    GRIP_REFRESH: str = "onepass"  # onepass (score the pool once) | twopass (literal reference flow)
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
     HOST_CACHE_BYTES: int = 4_000_000_000  # byte cap for the per-image host feature LRU
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)

@@ -44,6 +44,8 @@ class ImageLoader:
     decode + Pillow-compatible bicubic resize + center crop) when available,
     falling back to PIL per file otherwise (MNT_NATIVE_LOADER=0 disables)."""
 
+    out_dtype = np.uint8
+
     def __init__(self, resolution: int, num_workers: int = 8):
         self.resolution = resolution
         self.num_workers = num_workers
@@ -72,6 +74,54 @@ class ImageLoader:
                 ):
                     out[i] = img
         return out
+
+
+class TransformImageLoader:
+    """Per-item PIL decode + USER transform - the honored fast-path version of
+    the reference's `self.transform` application in CustomDataset.__getitem__
+    (reference data/dataset.py:64-79).  The transform's output feeds the model
+    directly (no CLIP re-normalization), exactly as the reference's DataLoader
+    stacks transform outputs into the model batch.
+
+    Accepts transform outputs that are torch tensors / numpy arrays in CHW or
+    HWC layout; output is float32 (N, R, R, 3)."""
+
+    out_dtype = np.float32
+
+    def __init__(self, resolution: int, transform, num_workers: int = 8):
+        self.resolution = resolution
+        self.transform = transform
+        self.num_workers = num_workers
+
+    def _one(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            out = self.transform(img.convert("RGB"))
+        arr = np.asarray(out, np.float32)
+        R = self.resolution
+        if arr.ndim != 3:
+            raise ValueError(
+                f"custom transform returned shape {arr.shape} for {path!r}; "
+                f"expected a 3D (C,{R},{R}) or ({R},{R},C) image"
+            )
+        if arr.shape[0] == 3 and arr.shape[1] == R and arr.shape[2] == R:
+            arr = arr.transpose(1, 2, 0)  # torch CHW -> HWC
+        if arr.shape != (R, R, 3):
+            raise ValueError(
+                f"custom transform returned shape {arr.shape} for {path!r}; "
+                f"the model needs ({R},{R},3) (or (3,{R},{R})) at the "
+                f"encoder's native resolution"
+            )
+        return arr
+
+    def load_all(self, filepaths: Sequence[str]) -> np.ndarray:
+        R = self.resolution
+        if not filepaths:
+            return np.empty((0, R, R, 3), np.float32)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            arrs = list(pool.map(self._one, filepaths))
+        return np.stack(arrs)
 
 
 def iter_image_batches(

@@ -59,7 +59,7 @@ def main(argv=None) -> int:
         jax.config.jax_compilation_cache_dir or ""
     )
     if cache:
-        n = sum(1 for _ in os.scandir(cache)) if os.path.isdir(cache) else 0
+        n = len(os.listdir(cache)) if os.path.isdir(cache) else 0
         _line("compile cache", True, f"{cache} ({n} entries)")
     else:
         _line(

@@ -82,12 +82,15 @@ def set_attention_data_shards(n: int) -> None:
     _DATA_SHARDS = max(1, int(n))
 
 
-def _fused_attention_enabled(batch: int, heads: int, seq: int) -> bool:
+def _fused_attention_enabled(
+    batch: int, heads: int, seq: int, data_shards: Optional[int] = None
+) -> bool:
     if _FUSED_ATTENTION == "on":
         return True
     if _FUSED_ATTENTION == "off":
         return False
-    per_device_batch = max(1, batch // _DATA_SHARDS)
+    shards = _DATA_SHARDS if data_shards is None else data_shards
+    per_device_batch = max(1, batch // shards)
     return (
         jax.default_backend() == "tpu"
         and per_device_batch * heads * seq * seq * 4 >= _auto_min_score_bytes()
@@ -100,6 +103,10 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    # per-model override of the process-global shard count (see
+    # set_attention_data_shards); ClipRuntime builds its model with its own
+    # mesh's value so jit traces of different runtimes can't see stale state
+    data_shards: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[str] = None) -> jnp.ndarray:
@@ -114,7 +121,7 @@ class MultiHeadAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * W,), jnp.float32)
         x = x.astype(self.dtype)
         qkv = x @ in_kernel.astype(self.dtype) + in_bias.astype(self.dtype)
-        if _fused_attention_enabled(B, H, T):
+        if _fused_attention_enabled(B, H, T, self.data_shards):
             # Pallas fused qk^T -> fp32 softmax -> attn@v, consuming the fused
             # qkv directly (no head-split transposes, no HBM score tensor);
             # custom VJP keeps jax.grad working (ops/attention.py)
@@ -145,11 +152,14 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    data_shards: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[str] = None) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
+        x = x + MultiHeadAttention(
+            self.width, self.heads, self.dtype, self.data_shards, name="attn"
+        )(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(
             y.astype(self.dtype)
@@ -164,6 +174,7 @@ class Transformer(nn.Module):
     layers: int
     heads: int
     dtype: Dtype = jnp.float32
+    data_shards: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -189,7 +200,8 @@ class Transformer(nn.Module):
                     [x[:, :deep_start], dp, x[:, deep_start + L :]], axis=1
                 )
             x = ResidualAttentionBlock(
-                self.width, self.heads, self.dtype, name=f"resblocks_{i}"
+                self.width, self.heads, self.dtype, self.data_shards,
+                name=f"resblocks_{i}",
             )(x, mask)
         return x
 
@@ -197,6 +209,7 @@ class Transformer(nn.Module):
 class VisionTower(nn.Module):
     arch: CLIPArch
     dtype: Dtype = jnp.float32
+    data_shards: Optional[int] = None
 
     def setup(self):
         a = self.arch
@@ -216,7 +229,8 @@ class VisionTower(nn.Module):
         )
         self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.transformer = Transformer(
-            a.vision_width, a.vision_layers, a.vision_heads, self.dtype
+            a.vision_width, a.vision_layers, a.vision_heads, self.dtype,
+            self.data_shards,
         )
         self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.proj = self.param(
@@ -261,6 +275,7 @@ class VisionTower(nn.Module):
 class TextTower(nn.Module):
     arch: CLIPArch
     dtype: Dtype = jnp.float32
+    data_shards: Optional[int] = None
 
     def setup(self):
         a = self.arch
@@ -277,7 +292,8 @@ class TextTower(nn.Module):
             jnp.float32,
         )
         self.transformer = Transformer(
-            a.transformer_width, a.transformer_layers, a.transformer_heads, self.dtype
+            a.transformer_width, a.transformer_layers, a.transformer_heads,
+            self.dtype, self.data_shards,
         )
         self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
         self.text_projection = self.param(
@@ -308,10 +324,11 @@ class CLIP(nn.Module):
 
     arch: CLIPArch
     dtype: Dtype = jnp.float32
+    data_shards: Optional[int] = None
 
     def setup(self):
-        self.visual = VisionTower(self.arch, self.dtype)
-        self.text = TextTower(self.arch, self.dtype)
+        self.visual = VisionTower(self.arch, self.dtype, self.data_shards)
+        self.text = TextTower(self.arch, self.dtype, self.data_shards)
         self.logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(1.0 / 0.07), jnp.float32),

@@ -41,6 +41,32 @@ def fold_normalization(conv1_kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray
     return k_folded, bias
 
 
+def patch_tokens(
+    images: jnp.ndarray,
+    kernel: jnp.ndarray,
+    patch: int,
+    dtype=jnp.float32,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, N, width) patch tokens: patchify + one matmul.
+
+    Row order of `kernel` is (p_h, p_w, channel).  Used both with the
+    normalize-folded kernel (uint8 inputs) and with the raw conv1 kernel
+    (float inputs already preprocessed by a user transform)."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = (
+        images.reshape(B, gh, patch, gw, patch, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, gh * gw, patch * patch * C)
+        .astype(dtype)
+    )
+    x = x @ kernel.astype(dtype)
+    if bias is not None:
+        x = x + bias.astype(dtype)
+    return x
+
+
 def folded_patch_tokens(
     images_u8: jnp.ndarray,
     k_folded: jnp.ndarray,
@@ -49,12 +75,4 @@ def folded_patch_tokens(
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(B, H, W, 3) uint8 -> (B, N, width) patch tokens, normalize folded."""
-    B, H, W, C = images_u8.shape
-    gh, gw = H // patch, W // patch
-    x = (
-        images_u8.reshape(B, gh, patch, gw, patch, C)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, gh * gw, patch * patch * C)
-        .astype(dtype)
-    )
-    return x @ k_folded.astype(dtype) + bias.astype(dtype)
+    return patch_tokens(images_u8, k_folded, patch, dtype, bias)

@@ -14,5 +14,5 @@ from menghini_neurips23_tpu.parallel.multihost import (  # noqa: F401
     initialize_from_env,
     is_main_process,
     replicate_tree,
-    shard_filelist_for_host,
+    shard_filelist_for_batch,
 )

@@ -77,25 +77,26 @@ def replicate_tree(mesh, tree):
     return jax.device_put(host, NamedSharding(mesh, P()))
 
 
-def shard_filelist_for_host(
-    filepaths: Sequence[str],
+def shard_filelist_for_batch(
+    batch_files: Sequence[str],
+    per_host: int,
     process_index: Optional[int] = None,
-    process_count: Optional[int] = None,
-) -> Tuple[List[str], List[int]]:
-    """Contiguous per-host shard of a file list (with global indices).
+) -> List[str]:
+    """This host's contiguous slice of ONE global batch's file list.
 
-    Each host loads only its shard; sizes differ by at most one file, and the
-    global order is recovered from the returned indices (exact unpadding - no
-    drop_duplicates dedup as in the reference, textual_prompt.py:294).
-    """
+    The global batch row-block layout is host-major (host i owns rows
+    [i*per_host, (i+1)*per_host) of the data-sharded device array), so the
+    slice must be the fixed-size block at that offset - NOT an equalized
+    remainder split - to line up with make_array_from_process_local_data.
+    A short final batch simply truncates; the caller zero-pads its slice.
+
+    This is THE per-host IO sharding used in production
+    (ClipRuntime._batched_pass_multihost), replacing the reference's DDP
+    sampler + gather + drop_duplicates dedup (textual_prompt.py:294)."""
     pi = jax.process_index() if process_index is None else process_index
-    pc = jax.process_count() if process_count is None else process_count
-    n = len(filepaths)
-    base, rem = divmod(n, pc)
-    start = pi * base + min(pi, rem)
-    size = base + (1 if pi < rem else 0)
-    idx = list(range(start, start + size))
-    return [filepaths[i] for i in idx], idx
+    lo = min(pi * per_host, len(batch_files))
+    hi = min(lo + per_host, len(batch_files))
+    return list(batch_files[lo:hi])
 
 
 def is_main_process() -> bool:

@@ -37,7 +37,10 @@ class ClipBaseline:
         prompts = [format_prompt(self.template, c) for c in self.classes]
         ids = self.runtime.tokenizer.tokenize(prompts)
         text = self.runtime.encode_text(ids, normalize=True)
-        img = self.runtime.encode_images_from_files(data.filepaths, normalize=True)
+        img = self.runtime.encode_images_from_files(
+            data.filepaths, normalize=True,
+            transform=getattr(data, "transform", None),
+        )
         logits = self.runtime.logit_scale * img @ text.T
         preds = [self.classes[i] for i in logits.argmax(1)]
         images = [f.split("/")[-1] for f in data.filepaths]

@@ -67,7 +67,12 @@ class ClipRuntime:
             tokenizer = get_tokenizer(cfg.BPE_PATH or None)
         self.tokenizer = tokenizer
         self._dp = data_parallelism(self.mesh)
-        # auto attention dispatch sizes the score tensor PER DEVICE
+        # auto attention dispatch sizes the score tensor PER DEVICE: rebuild
+        # the model carrying THIS runtime's shard count (a module attribute,
+        # so each runtime's jit traces see their own mesh - not whichever
+        # runtime last touched a process global), and keep the global in sync
+        # as the fallback for model functions built outside a runtime
+        self.model = CLIP(self.arch, dtype=dtype, data_shards=self._dp)
         from menghini_neurips23_tpu.models.clip import set_attention_data_shards
 
         set_attention_data_shards(self._dp)
@@ -123,6 +128,25 @@ class ClipRuntime:
             np.asarray(self.params["params"]["visual"]["conv1_kernel"])
         )
 
+    def _float_embed(self, params, images_f32):
+        """vision_embed from float images already preprocessed by a USER
+        transform: raw conv1 matmul, no normalize folding (the transform's
+        output feeds the tower directly - reference data/dataset.py:64-79)."""
+        from menghini_neurips23_tpu.ops.patch_embed import patch_tokens
+
+        p = params["params"]["visual"]
+        x = patch_tokens(
+            images_f32, p["conv1_kernel"], self.arch.vision_patch_size,
+            self.compute_dtype,
+        )
+        B = x.shape[0]
+        cls = jnp.broadcast_to(
+            p["class_embedding"].astype(self.compute_dtype),
+            (B, 1, self.arch.vision_width),
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        return x + p["positional_embedding"].astype(self.compute_dtype)
+
     @functools.cached_property
     def _encode_images(self):
         def fn(params, images_u8):
@@ -135,6 +159,21 @@ class ClipRuntime:
     def _vision_embed(self):
         def fn(params, images_u8):
             return self._folded_embed(params, images_u8)
+
+        return jax.jit(fn, out_shardings=self._osh)
+
+    @functools.cached_property
+    def _encode_images_float(self):
+        def fn(params, images_f32):
+            tokens = self._float_embed(params, images_f32)
+            return self.model.apply(params, tokens, method="vision_encode_tokens")
+
+        return jax.jit(fn, out_shardings=self._osh)
+
+    @functools.cached_property
+    def _vision_embed_float(self):
+        def fn(params, images_f32):
+            return self._float_embed(params, images_f32)
 
         return jax.jit(fn, out_shardings=self._osh)
 
@@ -157,14 +196,21 @@ class ClipRuntime:
             feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
 
-    def _batched_pass(self, fn, filepaths, batch_size: Optional[int] = None, cache=None):
+    def _batched_pass(
+        self, fn, filepaths, batch_size: Optional[int] = None, cache=None, loader=None
+    ):
         """Run a jitted per-batch image fn over a file list; returns stacked np.
 
         Multi-host: each process decodes ONLY its contiguous slice of every
         global batch (per-host IO sharding, replacing the reference's DDP
         sampler); the global batch is assembled by device placement and the
         replicated output gives every host the full result with exact
-        unpadding (no drop_duplicates dedup, reference textual_prompt.py:294)."""
+        unpadding (no drop_duplicates dedup, reference textual_prompt.py:294).
+
+        :param loader: optional object with .load_all(files) -> (N,R,R,3)
+            array and .out_dtype (e.g. TransformImageLoader for user
+            transforms); default = the uint8 fast pipeline."""
+        import concurrent.futures as cf
         import time
 
         bs = batch_size or max(self.cfg.BATCH_SIZE, 32)
@@ -174,7 +220,30 @@ class ClipRuntime:
         outs = []
         t0 = time.perf_counter()
         if self._pc > 1:
-            outs = self._batched_pass_multihost(fn, filepaths, bs)
+            outs = self._batched_pass_multihost(fn, filepaths, bs, loader)
+        elif loader is not None:
+            R = self.arch.image_resolution
+            steps = [filepaths[s : s + bs] for s in range(0, len(filepaths), bs)]
+
+            def make(files):
+                arr = loader.load_all(list(files))
+                if arr.shape[0] < bs:
+                    pad = np.zeros((bs - arr.shape[0], R, R, 3), loader.out_dtype)
+                    arr = np.concatenate([arr, pad]) if arr.size else pad
+                return arr, len(files)
+
+            with cf.ThreadPoolExecutor(1) as prefetcher:  # decode behind compute
+                fut = prefetcher.submit(make, steps[0]) if steps else None
+                for i in range(len(steps)):
+                    arr, count = fut.result()
+                    fut = (
+                        prefetcher.submit(make, steps[i + 1])
+                        if i + 1 < len(steps)
+                        else None
+                    )
+                    imgs = jax.device_put(arr, self._dsh)
+                    out = np.asarray(fn(self.params, imgs), np.float32)
+                    outs.append(out[:count])
         else:
             for batch in iter_image_batches(
                 filepaths, bs, self.arch.image_resolution, cache=cache
@@ -188,21 +257,22 @@ class ClipRuntime:
             log.info("batched pass: %d images in %.2fs (%.0f img/s)", n, dt, n / dt)
         return np.concatenate(outs, axis=0) if outs else np.empty((0,))
 
-    def _batched_pass_multihost(self, fn, filepaths, bs: int):
+    def _batched_pass_multihost(self, fn, filepaths, bs: int, loader=None):
         from menghini_neurips23_tpu.data.loader import ImageLoader
+        from menghini_neurips23_tpu.parallel import shard_filelist_for_batch
 
-        loader = ImageLoader(self.arch.image_resolution)
+        if loader is None:
+            loader = ImageLoader(self.arch.image_resolution)
         lbs = bs // self._pc  # rows owned by this host per global batch
         R = self.arch.image_resolution
         outs = []
         for s in range(0, len(filepaths), bs):
             files = filepaths[s : s + bs]
             count = len(files)
-            lo = min(self._pi * lbs, count)
-            hi = min(lo + lbs, count)
-            local = loader.load_all(list(files[lo:hi]))
+            local_files = shard_filelist_for_batch(files, lbs, self._pi)
+            local = loader.load_all(local_files)
             if local.shape[0] < lbs:  # zero-pad this host's slice
-                pad = np.zeros((lbs - local.shape[0], R, R, 3), np.uint8)
+                pad = np.zeros((lbs - local.shape[0], R, R, 3), loader.out_dtype)
                 local = np.concatenate([local, pad]) if local.size else pad
             imgs = jax.make_array_from_process_local_data(
                 self._dsh, local, (bs, R, R, 3)
@@ -212,18 +282,41 @@ class ClipRuntime:
         return outs
 
     def encode_images_from_files(
-        self, filepaths: Sequence[str], normalize: bool = True, batch_size=None, cache=None
+        self,
+        filepaths: Sequence[str],
+        normalize: bool = True,
+        batch_size=None,
+        cache=None,
+        transform=None,
     ) -> np.ndarray:
-        """Frozen image features for a file list: (N, E) fp32."""
-        feats = self._batched_pass(self._encode_images, filepaths, batch_size, cache)
+        """Frozen image features for a file list: (N, E) fp32.
+
+        :param transform: optional user transform (reference
+            CustomDataset.transform) - honored via the per-item PIL path."""
+        if transform is not None:
+            from menghini_neurips23_tpu.data.loader import TransformImageLoader
+
+            feats = self._batched_pass(
+                self._encode_images_float, filepaths, batch_size,
+                loader=TransformImageLoader(self.arch.image_resolution, transform),
+            )
+        else:
+            feats = self._batched_pass(self._encode_images, filepaths, batch_size, cache)
         if normalize and len(feats):
             feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
 
     def vision_tokens_from_files(
-        self, filepaths: Sequence[str], batch_size=None, cache=None
+        self, filepaths: Sequence[str], batch_size=None, cache=None, transform=None
     ) -> np.ndarray:
         """Pos-embedded CLS+patch tokens (N, 1+P, W) fp32 - the frozen,
         prompt-independent prefix of the vision tower, cached once for VPT/UPT
         training instead of recomputed every batch."""
+        if transform is not None:
+            from menghini_neurips23_tpu.data.loader import TransformImageLoader
+
+            return self._batched_pass(
+                self._vision_embed_float, filepaths, batch_size,
+                loader=TransformImageLoader(self.arch.image_resolution, transform),
+            )
         return self._batched_pass(self._vision_embed, filepaths, batch_size, cache)

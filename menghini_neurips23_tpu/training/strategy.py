@@ -142,6 +142,7 @@ class TrainingStrategy:
         self.check_unlabeled = list(unlabeled_files) if unlabeled_files else None
         self.runtime = runtime if runtime is not None else ClipRuntime(config)
         self.template = config.PROMPT_TEMPLATE
+        self._active_transform = None  # user transform honored on the fast path
         self.val_unseen_files = None
         self.val_unseen_labs = None
         self.balance_param = 1.0
@@ -171,6 +172,26 @@ class TrainingStrategy:
         re-enter the tower through a fp32 LayerNorm either way; the device
         table + per-step gather traffic halve).  None = keep host dtype."""
         return None
+
+    def _note_transform(self, data):
+        """Honor a user-supplied dataset transform on the batch fast path
+        (reference CustomDataset.__getitem__ applies self.transform per item,
+        data/dataset.py:64-79; strategies set it on every dataset).  A non-None
+        transform switches frozen encoding to the per-item PIL path; the
+        feature cache is cleared on change so stale fast-path features can't
+        leak across transforms."""
+        tr = getattr(data, "transform", None)
+        if tr is None:
+            return
+        if self._active_transform is None:
+            self._active_transform = tr
+            self._feat_cache.clear()
+        elif self._active_transform is not tr:
+            raise ValueError(
+                "datasets carry different custom transforms; set the same "
+                "transform object on every dataset of a run (the reference "
+                "always threads one self.transform through all of them)"
+            )
 
     def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
         """Cached frozen representation per image, through the byte-capped
@@ -312,6 +333,7 @@ class TrainingStrategy:
         textual_fpl.py:58-121 and paradigm variants)."""
         if unlabeled_data is None:
             return train_data
+        self._note_transform(unlabeled_data)
         pseudo_classes = self.classes if self.paradigm == "ul" else self.unseen_classes
         cfg = self.config
 
@@ -388,7 +410,9 @@ class TrainingStrategy:
         """Batched zero-shot CLIP probabilities (N, C) - replaces the
         reference's per-image loop (utils/clip_pseudolabels.py:31-44)."""
         text = self._zero_shot_text_features(class_list)
-        img = self.runtime.encode_images_from_files(filepaths, normalize=True)
+        img = self.runtime.encode_images_from_files(
+            filepaths, normalize=True, transform=self._active_transform
+        )
         return self._softmax_probs(img, text)
 
     def _softmax_probs(self, img_feats: np.ndarray, text_feats: np.ndarray) -> np.ndarray:
@@ -422,6 +446,8 @@ class TrainingStrategy:
         """Reference signature: main_SSL.py:211-215 (prompt-only) and
         :292-297 (FPL).  Returns (best val accuracy, best prompt params)."""
         cfg = self.config
+        self._note_transform(train_data)
+        self._note_transform(val_data)
         if train_unseen_dataset is not None:
             train_data = self.create_training_dataset(train_data, train_unseen_dataset)
         elif not getattr(self, "_policy_ready", False):
@@ -875,9 +901,31 @@ class TrainingStrategy:
     def get_pseudo_labels(self, unlabeled_examples):
         """Refresh pseudolabels with the CURRENT prompts (reference
         textual_fpl.py:168-283): predict over the pool, rebuild the dataset in
-        class_folder mode, re-rank with the leaderboard."""
+        class_folder mode, re-rank with the leaderboard.
+
+        The reference runs TWO full prompted-tower passes over the pool per
+        refresh (test_predictions at textual_fpl.py:174, then the re-scoring
+        loop at :214-230).  The class lists are identical and the class_folder
+        rebuild is a host-side path permutation, so by default
+        (GRIP_REFRESH="onepass") the pool is scored ONCE and the logits are
+        mapped through that permutation - halving the refresh cost for the
+        visual/multimodal GRIP workloads, which re-run the prompted vision
+        tower per pass.  GRIP_REFRESH="twopass" keeps the literal two-pass
+        flow (parity-pinned equal in tests/test_grip_refresh.py)."""
         cfg = self.config
-        std_preds = self.test_predictions(unlabeled_examples, standard_zsl=True)
+        self._note_transform(unlabeled_examples)
+        classes = self.classes if self.paradigm == "ul" else self.unseen_classes
+        onepass = getattr(cfg, "GRIP_REFRESH", "onepass") != "twopass"
+        if onepass:
+            # test_predictions(standard_zsl=True) reduces to argmax over the
+            # same class list (UL ignores standard_zsl and uses all classes -
+            # exactly `classes` above)
+            logits = self._predict_logits(unlabeled_examples.filepaths, classes)
+            ids = [f.split("/")[-1] for f in unlabeled_examples.filepaths]
+            preds = [classes[i] for i in logits.argmax(1)]
+            std_preds = pd.DataFrame({"id": ids, "class": preds})
+        else:
+            std_preds = self.test_predictions(unlabeled_examples, standard_zsl=True)
         DatasetObject = dataset_object(cfg.DATASET_NAME)
         pseudo_unseen = DatasetObject(
             list(std_preds["id"]),
@@ -888,17 +936,45 @@ class TrainingStrategy:
             class_folder=True,
             original_filepaths=unlabeled_examples.filepaths,
         )
-        classes = self.classes if self.paradigm == "ul" else self.unseen_classes
-        probs = self._tuned_probs(pseudo_unseen.filepaths, classes)
+        if onepass:
+            perm = self._refresh_permutation(
+                unlabeled_examples.filepaths, pseudo_unseen.filepaths
+            )
+            probs = self._softmax64(logits[perm])
+        else:
+            probs = self._tuned_probs(pseudo_unseen.filepaths, classes)
         return compute_pseudo_labels(
             probs, pseudo_unseen, classes, self.label_to_idx, cfg.N_PSEUDOSHOTS,
             method=getattr(cfg, "PSEUDO_TOPK", "exact"),
         )
 
-    def _tuned_probs(self, filepaths, class_list) -> np.ndarray:
-        logits = self._predict_logits(filepaths, class_list).astype(np.float64)
-        p = np.exp(logits - logits.max(1, keepdims=True))
+    @staticmethod
+    def _refresh_permutation(pool_paths, resolved_paths) -> np.ndarray:
+        """Map class_folder-resolved paths back to pool rows: exact path match
+        first (the _OriginalPathLookup datasets return pool paths verbatim),
+        basename fallback for layouts that rebuild the path string (DTD,
+        EuroSAT, RESICS45 - reference data/dataset.py:166-180,256-259)."""
+        by_path: Dict[str, int] = {}
+        by_name: Dict[str, int] = {}
+        for i, p in enumerate(pool_paths):
+            by_path.setdefault(p, i)
+            by_name.setdefault(p.split("/")[-1], i)
+        idx = []
+        for p in resolved_paths:
+            j = by_path.get(p)
+            if j is None:
+                j = by_name[p.split("/")[-1]]
+            idx.append(j)
+        return np.asarray(idx, np.int64)
+
+    @staticmethod
+    def _softmax64(logits: np.ndarray) -> np.ndarray:
+        l64 = logits.astype(np.float64)
+        p = np.exp(l64 - l64.max(1, keepdims=True))
         return (p / p.sum(1, keepdims=True)).astype(np.float32)
+
+    def _tuned_probs(self, filepaths, class_list) -> np.ndarray:
+        return self._softmax64(self._predict_logits(filepaths, class_list))
 
     def fixed_iterative_train(
         self, train_data, val_data, train_unseen_dataset, only_seen: bool = False
@@ -1021,6 +1097,7 @@ class TrainingStrategy:
         drop_duplicates heuristic.  UL always predicts over ALL classes
         (reference unsupervised_learning/textual_prompt.py:231 ignores
         standard_zsl)."""
+        self._note_transform(data)
         if self.paradigm == "ul":
             class_list = self.classes
         else:
@@ -1033,6 +1110,7 @@ class TrainingStrategy:
     def evaluation(self, data):
         """(images, predictions, logits) over self.classes (reference
         textual_prompt.py:301-356)."""
+        self._note_transform(data)
         logits = self._predict_logits(data.filepaths, self.classes)
         preds = [self.classes[i] for i in logits.argmax(1)]
         images = [f.split("/")[-1] for f in data.filepaths]

@@ -59,7 +59,9 @@ class TextualStrategy(TrainingStrategy):
 
     # ------------------------------------------------------------ features
     def _encode_paths(self, paths: Sequence[str]) -> np.ndarray:
-        return self.runtime.encode_images_from_files(paths, normalize=True)
+        return self.runtime.encode_images_from_files(
+            paths, normalize=True, transform=self._active_transform
+        )
 
     def _feature_item_nbytes(self) -> int:
         return self.runtime.arch.embed_dim * 4

@@ -78,7 +78,9 @@ class VisualStrategy(TrainingStrategy):
 
     # ------------------------------------------------------------ features
     def _encode_paths(self, paths: Sequence[str]) -> np.ndarray:
-        return self.runtime.vision_tokens_from_files(paths)
+        return self.runtime.vision_tokens_from_files(
+            paths, transform=self._active_transform
+        )
 
     def _feature_item_nbytes(self) -> int:
         a = self.runtime.arch

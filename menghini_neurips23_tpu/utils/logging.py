@@ -34,7 +34,19 @@ def set_process_rank(rank: int) -> None:
 def _is_main_process() -> bool:
     if _RANK is not None:
         return _RANK == 0
-    return int(os.environ.get("JAX_PROCESS_ID", "0") or 0) == 0
+    # Pre-init fallback: consult the launcher protocols we may be running
+    # under (this framework's JAX_PROCESS_ID, Cloud TPU pod rank vars, generic
+    # RANK).  When ranks come from jax.distributed auto-detection outside all
+    # of these, records emitted BEFORE set_process_rank may duplicate across
+    # processes - initialize_from_env/ClipRuntime narrow that window.
+    for var in ("JAX_PROCESS_ID", "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID", "RANK"):
+        val = os.environ.get(var)
+        if val:
+            try:
+                return int(val) == 0
+            except ValueError:
+                continue
+    return True
 
 
 class MainProcessHandler(logging.StreamHandler):

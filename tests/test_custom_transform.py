@@ -1,0 +1,132 @@
+"""User-supplied dataset transforms are HONORED on the batch fast path.
+
+The reference applies `self.transform` per item in CustomDataset.__getitem__
+(reference data/dataset.py:64-79); round 2 honored it only in the API-parity
+__getitem__ while the batch pipeline always ran the fixed CLIP preprocess.
+These tests pin the round-3 fix: a transform that reproduces the CLIP
+preprocess matches the uint8 fast path, a different transform changes the
+output, and conflicting transforms are rejected loudly.
+"""
+
+import numpy as np
+import pytest
+
+from menghini_neurips23_tpu.config import Config
+from menghini_neurips23_tpu.data import dataset_object
+from menghini_neurips23_tpu.data.transforms import (
+    CLIP_MEAN,
+    CLIP_STD,
+    preprocess_pil,
+)
+from menghini_neurips23_tpu.training import TextualStrategy, VisualStrategy
+
+from tests.conftest import make_mnist_fixture
+
+
+def clip_equivalent_transform(resolution):
+    """A user transform that reproduces the default CLIP preprocess exactly
+    (what the reference's clip.load transform computes), output HWC float."""
+
+    def tr(img):
+        u8 = preprocess_pil(img, resolution)
+        return (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+    return tr
+
+
+def shifted_transform(resolution):
+    """A visibly different transform (channel-flipped, rescaled)."""
+
+    def tr(img):
+        u8 = preprocess_pil(img, resolution)
+        return (u8[..., ::-1].astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD * 0.5
+
+    return tr
+
+
+@pytest.fixture(scope="module")
+def tr_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tr") / "MNIST"
+    make_mnist_fixture(root, n_per_class=4)
+    classes = ["0", "1", "2"]
+    l2i = {c: i for i, c in enumerate(classes)}
+    DS = dataset_object("MNIST")
+    files = [f"train/{c}/img{i}.png" for c in classes for i in range(4)]
+    return root, classes, l2i, DS, files
+
+
+def test_clip_equivalent_transform_matches_fast_path(tr_data, tiny_runtime):
+    root, classes, l2i, DS, files = tr_data
+    ds = DS(files, str(root), train=True, labels=None, label_map=l2i)
+    R = tiny_runtime.arch.image_resolution
+    base = tiny_runtime.encode_images_from_files(ds.filepaths, normalize=True)
+    via_tr = tiny_runtime.encode_images_from_files(
+        ds.filepaths, normalize=True, transform=clip_equivalent_transform(R)
+    )
+    # the folded-uint8 path and the float transform path are the same math
+    np.testing.assert_allclose(via_tr, base, rtol=2e-4, atol=2e-5)
+
+
+def test_different_transform_changes_features(tr_data, tiny_runtime):
+    root, classes, l2i, DS, files = tr_data
+    ds = DS(files, str(root), train=True, labels=None, label_map=l2i)
+    R = tiny_runtime.arch.image_resolution
+    base = tiny_runtime.encode_images_from_files(ds.filepaths, normalize=True)
+    via_tr = tiny_runtime.encode_images_from_files(
+        ds.filepaths, normalize=True, transform=shifted_transform(R)
+    )
+    assert np.abs(via_tr - base).max() > 1e-3
+
+
+@pytest.mark.parametrize(
+    "cls,extra",
+    [(TextualStrategy, {}), (VisualStrategy, {"MODALITY": "image"})],
+)
+def test_strategy_honors_dataset_transform(tr_data, tiny_runtime, cls, extra):
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1,
+        PROMPT_TEMPLATE="a photo of a {}", DATASET_NAME="MNIST",
+        LEARNING_PARADIGM="ssl", **extra,
+    )
+
+    def logits_with(transform):
+        ds = DS(files, str(root), train=True, labels=None, label_map=l2i,
+                transform=transform)
+        strat = cls(cfg, l2i, classes, classes, classes, runtime=tiny_runtime)
+        strat.test_predictions(ds)  # notes the transform
+        return strat._predict_logits(ds.filepaths, classes)
+
+    base = logits_with(None)
+    same = logits_with(clip_equivalent_transform(R))
+    diff = logits_with(shifted_transform(R))
+    np.testing.assert_allclose(same, base, rtol=5e-4, atol=5e-4)
+    assert np.abs(diff - base).max() > 1e-3
+
+
+def test_conflicting_transforms_raise(tr_data, tiny_runtime):
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1,
+        PROMPT_TEMPLATE="a photo of a {}", DATASET_NAME="MNIST",
+        LEARNING_PARADIGM="ssl",
+    )
+    strat = TextualStrategy(cfg, l2i, classes, classes, classes, runtime=tiny_runtime)
+    ds1 = DS(files[:3], str(root), train=True, labels=None, label_map=l2i,
+             transform=clip_equivalent_transform(R))
+    ds2 = DS(files[3:], str(root), train=True, labels=None, label_map=l2i,
+             transform=shifted_transform(R))
+    strat._note_transform(ds1)
+    with pytest.raises(ValueError, match="different custom transforms"):
+        strat._note_transform(ds2)
+
+
+def test_bad_transform_output_raises(tr_data, tiny_runtime):
+    root, classes, l2i, DS, files = tr_data
+    ds = DS(files[:2], str(root), train=True, labels=None, label_map=l2i)
+    with pytest.raises(ValueError, match="custom transform returned shape"):
+        tiny_runtime.encode_images_from_files(
+            ds.filepaths, transform=lambda img: np.zeros((7, 7, 3), np.float32)
+        )

@@ -92,18 +92,20 @@ def test_graft_entry_single_chip_compiles():
     assert np.isfinite(float(out))
 
 
-def test_shard_filelist_for_host():
-    from menghini_neurips23_tpu.parallel import shard_filelist_for_host
+def test_shard_filelist_for_batch():
+    """The production per-host batch slicing (host-major fixed blocks)."""
+    from menghini_neurips23_tpu.parallel import shard_filelist_for_batch
 
-    files = [f"f{i}" for i in range(10)]
-    seen = []
-    for pi in range(3):
-        shard, idx = shard_filelist_for_host(files, process_index=pi, process_count=3)
-        assert shard == [files[i] for i in idx]
-        seen += idx
-    assert sorted(seen) == list(range(10))  # exact cover, no overlap
-    sizes = [len(shard_filelist_for_host(files, pi, 3)[0]) for pi in range(3)]
-    assert max(sizes) - min(sizes) <= 1
+    files = [f"f{i}" for i in range(8)]
+    # full batch, 4 hosts x 2 rows: exact cover in row-block order
+    got = [shard_filelist_for_batch(files, 2, pi) for pi in range(4)]
+    assert [f for s in got for f in s] == files
+    assert all(len(s) == 2 for s in got)
+    # short final batch (5 files): trailing hosts truncate / go empty
+    short = files[:5]
+    got = [shard_filelist_for_batch(short, 2, pi) for pi in range(4)]
+    assert [f for s in got for f in s] == short
+    assert [len(s) for s in got] == [2, 2, 1, 0]
 
 
 def test_vit_l14_shapes_via_eval_shape():
