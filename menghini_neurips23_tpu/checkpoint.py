@@ -47,16 +47,34 @@ def save_iteration_state(
     n_pseudoshots: int,
     best_metric: float,
     best_params: Any,
+    rng_state: Optional[dict] = None,
+    reinit: Optional[int] = None,
 ) -> str:
-    """Persist resume state after a completed IFPL/GRIP iteration."""
-    if jax.process_index() != 0:
-        return ""
+    """Persist resume state after a completed IFPL/GRIP iteration.
+
+    rng_state (numpy Generator bit_generator.state) and reinit (the prompt
+    re-init counter) make a resumed run BIT-IDENTICAL to an uninterrupted
+    one: without them the restarted process would draw fresh permutation
+    streams and prompt-init keys.
+
+    EVERY process of a group must call this: the orbax save synchronizes the
+    process group internally, and a rank skipping it desyncs all subsequent
+    collectives (gloo aborts with a collective size mismatch - caught by
+    tests/test_multihost_workflow.py).  Only rank 0 touches the filesystem
+    around the save."""
     base = _ckpt_dir(config)
     path = os.path.join(base, f"iter_{iteration}")
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
+    multi = jax.process_count() > 1
+    if jax.process_index() == 0:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+    if multi:
+        # the tmp dir must exist before any rank enters the orbax save
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mnt_ckpt_pre_save")
 
     import orbax.checkpoint as ocp
 
@@ -65,18 +83,26 @@ def save_iteration_state(
             os.path.join(os.path.abspath(tmp), "params"),
             _to_numpy_tree(best_params),
         )
-    manifest = {
-        "iteration": iteration,
-        "n_pseudoshots": int(n_pseudoshots),
-        "best_metric": float(best_metric),
-        "run": run_key(config),
-    }
-    with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    log.info("checkpointed iteration %d -> %s", iteration, path)
+    if jax.process_index() == 0:
+        manifest = {
+            "iteration": iteration,
+            "n_pseudoshots": int(n_pseudoshots),
+            "best_metric": float(best_metric),
+            "run": run_key(config),
+            "rng_state": rng_state,
+            "reinit": reinit,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        log.info("checkpointed iteration %d -> %s", iteration, path)
+    if multi:
+        # no rank proceeds until the finalized checkpoint dir exists
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mnt_ckpt_post_save")
     return path
 
 

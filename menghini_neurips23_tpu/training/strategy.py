@@ -1039,6 +1039,14 @@ class TrainingStrategy:
                 best_overall = state["best_metric"]
                 best_params = state["best_params"]
                 self.load_parameters(best_params)
+                # restore the permutation RNG stream and the prompt re-init
+                # counter so the resumed run is bit-identical to an
+                # uninterrupted one (tests/test_multihost_workflow.py pins
+                # this across a process group)
+                if state.get("rng_state") is not None:
+                    self._rng.bit_generator.state = state["rng_state"]
+                if state.get("reinit") is not None:
+                    self._reinit = int(state["reinit"])
                 log.info(
                     "resuming from checkpointed iteration %d (best=%.4f)",
                     state["iteration"], best_overall,
@@ -1073,7 +1081,21 @@ class TrainingStrategy:
                 best_params = params
             self.load_parameters(best_params)
             if cfg.CHECKPOINT_ITER:
-                save_iteration_state(cfg, niter, cfg.N_PSEUDOSHOTS, best_overall, best_params)
+                save_iteration_state(
+                    cfg, niter, cfg.N_PSEUDOSHOTS, best_overall, best_params,
+                    rng_state=self._rng.bit_generator.state,
+                    reinit=getattr(self, "_reinit", None),
+                )
+            # fault injection (SURVEY.md §5.3; the reference has none): lets
+            # tests kill a run at an exact iteration boundary to exercise
+            # checkpoint/resume across a real process group
+            import os as _os
+
+            fail_after = int(_os.environ.get("MNT_FAIL_AFTER_ITER", "0") or 0)
+            if fail_after and niter == fail_after:
+                raise RuntimeError(
+                    f"fault injection: MNT_FAIL_AFTER_ITER={fail_after}"
+                )
             # restore the full pool for the next refresh (the engine mutates it)
             unlabeled_data = copy.deepcopy(original_unlabeled)
             train_data = copy.deepcopy(original_train)

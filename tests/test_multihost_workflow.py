@@ -1,12 +1,19 @@
-"""True multi-controller test: 2 spawned processes run the FULL SSL workflow
-over a global 4-device CPU mesh and must produce byte-identical artifacts to
-a single-process 4-device run.
+"""True multi-controller tests: spawned process groups run the FULL workflow
+over a global CPU device mesh and must produce byte-identical artifacts to a
+single-process run with the same global device count.
 
 This exercises the production multi-host path end to end (the reference runs
 4-process DDP via `accelerate launch`, accelerate_config.yml:8-9):
 jax.distributed.initialize from env, per-host decode sharding in
 ClipRuntime._batched_pass, replicated batched-pass outputs, mesh-replicated
 jit inputs, and rank-0 artifact writing.
+
+Matrix (VERDICT r2 next-round #5):
+- 2 procs x 2 devices, textual_fpl  == 1 proc x 4 devices
+- 4 procs x 2 devices, visual_fpl   == 1 proc x 8 devices (the reference's
+  production process count, accelerate_config.yml:8-9; visual modality)
+- 2 procs x 2 devices iterative_textual_fpl killed after iteration 1 (fault
+  injection), resumed across the process group == an uninterrupted group run
 """
 
 import json
@@ -46,9 +53,9 @@ def _write_dataset(tmp_path):
     return root
 
 
-def _write_config(tmp_path, artifact_dir):
+def _write_config(tmp_path, artifact_dir, modality="text", **overrides):
     cfg = {
-        "MODALITY": "text",
+        "MODALITY": modality,
         "EPOCHS": 3,
         "BATCH_SIZE": 8,
         "N_LABEL": 2,
@@ -56,16 +63,21 @@ def _write_config(tmp_path, artifact_dir):
         "PREFIX_SIZE": 4,
         "ARTIFACT_DIR": str(artifact_dir),
     }
+    cfg.update(overrides)
     path = tmp_path / "tiny.yml"
     path.write_text("\n".join(f"{k}: {v}" for k, v in cfg.items()) + "\n")
     return path
 
 
-def _run(tmp_path, tag, n_procs, local_devices, port):
+def _run(tmp_path, tag, n_procs, local_devices, port, model="textual_fpl",
+         modality="text", cfg_overrides=None, env_overrides=None,
+         expect_fail=False, reuse_dir=False):
     """Run the SSL CLI with n_procs processes x local_devices CPU devices."""
     artifact_dir = tmp_path / tag
     artifact_dir.mkdir(parents=True, exist_ok=True)
-    cfg_path = _write_config(tmp_path / tag, artifact_dir)
+    cfg_path = _write_config(
+        tmp_path / tag, artifact_dir, modality=modality, **(cfg_overrides or {})
+    )
     script = tmp_path / f"runner_{tag}.py"
     script.write_text(RUNNER % {"local_devices": local_devices})
     env = {
@@ -76,9 +88,10 @@ def _run(tmp_path, tag, n_procs, local_devices, port):
     env.update(
         PYTHONPATH=str(REPO) + os.pathsep + env.get("PYTHONPATH", ""),
         OPTIM_SEED="1", VIS_ENCODER="tiny-test", DATASET_NAME="MNIST",
-        DATASET_DIR=str(tmp_path / "data"), MODEL="textual_fpl",
+        DATASET_DIR=str(tmp_path / "data"), MODEL=model,
         SPLIT_SEED="500",
     )
+    env.update(env_overrides or {})
     procs = []
     for pid in range(n_procs):
         penv = dict(env)
@@ -97,21 +110,18 @@ def _run(tmp_path, tag, n_procs, local_devices, port):
         )
     outs = [p.communicate(timeout=600)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"{tag} rank failed:\n{out[-4000:]}"
+        if expect_fail:
+            assert p.returncode != 0, f"{tag} rank should have failed:\n{out[-2000:]}"
+        else:
+            assert p.returncode == 0, f"{tag} rank failed:\n{out[-4000:]}"
     return artifact_dir, outs
 
 
-def test_two_process_run_matches_single_process(tmp_path):
-    _write_dataset(tmp_path)
-    # single process with 4 local devices == 2 processes x 2 local devices:
-    # same global device count -> same batch rounding -> identical math
-    single_dir, _ = _run(tmp_path, "single", n_procs=1, local_devices=4, port=0)
-    multi_dir, outs = _run(tmp_path, "multi", n_procs=2, local_devices=2, port=29531)
+def _assert_artifact_dirs_equal(single_dir, multi_dir, model):
+    """Rank-0-only artifact writing: exactly one of each artifact, equal."""
 
-    # rank-0-only artifact writing: exactly one of each artifact
     def read(d, rel):
-        files = sorted((d / rel).glob("*.pickle")) if (d / rel).is_dir() else []
-        return files
+        return sorted((d / rel).glob("*.pickle")) if (d / rel).is_dir() else []
 
     for rel in ("trained_prompts", "pseudolabels", "evaluation"):
         fs, fm = read(single_dir, rel), read(multi_dir, rel)
@@ -128,9 +138,66 @@ def test_two_process_run_matches_single_process(tmp_path):
                     assert list(np.ravel(xa)) == list(np.ravel(xb))
 
     # results JSONL accuracy identical
-    rs = json.loads((single_dir / "results_model_textual_fpl.json").read_text().splitlines()[0])
-    rm = json.loads((multi_dir / "results_model_textual_fpl.json").read_text().splitlines()[0])
+    rs = json.loads(
+        (single_dir / f"results_model_{model}.json").read_text().splitlines()[0]
+    )
+    rm = json.loads(
+        (multi_dir / f"results_model_{model}.json").read_text().splitlines()[0]
+    )
     assert rm["accuracy"] == pytest.approx(rs["accuracy"], abs=1e-9)
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    _write_dataset(tmp_path)
+    # single process with 4 local devices == 2 processes x 2 local devices:
+    # same global device count -> same batch rounding -> identical math
+    single_dir, _ = _run(tmp_path, "single", n_procs=1, local_devices=4, port=0)
+    multi_dir, _ = _run(tmp_path, "multi", n_procs=2, local_devices=2, port=29531)
+    _assert_artifact_dirs_equal(single_dir, multi_dir, "textual_fpl")
+
+
+def test_four_process_visual_run_matches_single_process(tmp_path):
+    """The reference's production process count (4, accelerate_config.yml:8-9)
+    on the visual modality: 4 procs x 2 devices == 1 proc x 8 devices."""
+    _write_dataset(tmp_path)
+    kw = dict(model="visual_fpl", modality="image", cfg_overrides={"EPOCHS": 2})
+    single_dir, _ = _run(
+        tmp_path, "vsingle", n_procs=1, local_devices=8, port=0, **kw
+    )
+    multi_dir, _ = _run(
+        tmp_path, "vmulti", n_procs=4, local_devices=2, port=29541, **kw
+    )
+    _assert_artifact_dirs_equal(single_dir, multi_dir, "visual_fpl")
+
+
+def test_iterative_kill_and_resume_across_process_group(tmp_path):
+    """iterative_textual_fpl: kill the whole 2-process group after the
+    iteration-1 checkpoint (fault injection), restart it, and require the
+    completed run's artifacts to be IDENTICAL to an uninterrupted group run
+    (the checkpoint carries the RNG stream + prompt re-init counter)."""
+    _write_dataset(tmp_path)
+    kw = dict(
+        model="iterative_textual_fpl",
+        cfg_overrides={"EPOCHS": 2, "STEP_QUANTILE": 50},  # 2 iterations
+    )
+    # uninterrupted control group
+    control_dir, _ = _run(
+        tmp_path, "ctrl", n_procs=2, local_devices=2, port=29551, **kw
+    )
+    # group killed right after iteration 1's checkpoint
+    crash_dir, outs = _run(
+        tmp_path, "crash", n_procs=2, local_devices=2, port=29552,
+        env_overrides={"MNT_FAIL_AFTER_ITER": "1"}, expect_fail=True, **kw
+    )
+    assert any("fault injection" in o for o in outs)
+    ckpts = crash_dir / "checkpoints"
+    assert any(p.name == "iter_1" for p in ckpts.rglob("iter_*")), "no checkpoint"
+    # restart the same group in the same artifact dir: resumes at iteration 2
+    _, outs = _run(
+        tmp_path, "crash", n_procs=2, local_devices=2, port=29553, **kw
+    )
+    assert any("resuming from checkpointed iteration 1" in o for o in outs)
+    _assert_artifact_dirs_equal(control_dir, crash_dir, "iterative_textual_fpl")
 
 
 def jax_flat(obj):
