@@ -1,0 +1,84 @@
+"""GRIP visual refresh cost: onepass vs twopass, one chip run per mode.
+
+Usage:  PYTHONPATH=/root/repo python benchmarks/bench_grip_refresh.py MODE [POOL]
+
+MODE = onepass | twopass (Config.GRIP_REFRESH).  Times
+VisualStrategy.get_pseudo_labels over a POOL-image pool with the prompted
+vision tower running for real on device (the frozen patch-token cache is
+injected - production computes it once and streams it; the cost under
+measurement is the PROMPTED transformer pass, which the reference's
+two-pass flow runs twice per refresh, textual_fpl.py:168-283 /
+visual_fpl.py:239-328)."""
+
+import copy
+import sys
+import time
+
+import numpy as np
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "onepass"
+POOL = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+C = 10
+
+import os
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
+)
+
+from menghini_neurips23_tpu.config import Config
+from menghini_neurips23_tpu.data import dataset_object
+from menghini_neurips23_tpu.runtime import ClipRuntime
+from menghini_neurips23_tpu.training import VisualStrategy
+
+cfg = Config(
+    VIS_ENCODER="ViT-B/32", BATCH_SIZE=256, PREFIX_SIZE=16, OPTIM_SEED=1,
+    PROMPT_TEMPLATE="a photo of a {}", MODEL="grip_visual", MODALITY="image",
+    DATASET_NAME="MNIST", LEARNING_PARADIGM="ssl", COMPUTE_DTYPE="bfloat16",
+    N_PSEUDOSHOTS=16, GRIP_REFRESH=MODE, ARTIFACT_DIR="/tmp/grip_artifacts",
+)
+rt = ClipRuntime(cfg)
+classes = [str(i) for i in range(C)]
+l2i = {c: i for i, c in enumerate(classes)}
+rng = np.random.default_rng(0)
+
+pool_paths = [f"train/{i % C}/img{i}.png" for i in range(POOL)]
+S, W = rt.arch.num_patches + 1, rt.arch.vision_width
+tokens = rng.normal(0, 1, (POOL, S, W)).astype(np.float32)
+tok_idx = {p: i for i, p in enumerate(pool_paths)}
+
+
+def lookup(paths, cache=True):
+    idx = [tok_idx[p if p in tok_idx else "train/" + p.split("MNIST/")[-1].split("train/")[-1]]
+           for p in paths]
+    return tokens[idx]
+
+
+strat = VisualStrategy(
+    cfg, l2i, classes, classes, classes,
+    data_folder="/tmp/grip_data/MNIST", runtime=rt,
+)
+strat._features_for_paths = lookup
+
+DS = dataset_object("MNIST")
+unlabeled = DS(
+    [p.split("/", 1)[1] for p in pool_paths], "/tmp/grip_data/MNIST",
+    train=True, labels=None, label_map=l2i,
+)
+unlabeled.filepaths = list(pool_paths)
+
+# warmup (compile the prompted tower pass)
+strat.get_pseudo_labels(copy.deepcopy(unlabeled))
+times = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    strat.get_pseudo_labels(copy.deepcopy(unlabeled))
+    times.append(time.perf_counter() - t0)
+dt = min(times)
+print(
+    f"RESULT grip_refresh {MODE} pool={POOL}: {dt:.2f}s/refresh "
+    f"({POOL/dt:.0f} img/s) runs={['%.2f' % t for t in times]}"
+)

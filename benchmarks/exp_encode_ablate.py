@@ -1,0 +1,221 @@
+"""Frozen encode-pass ablations, one variant per process run (tunnel-friendly).
+
+Usage:  PYTHONPATH=/root/repo python benchmarks/exp_encode_ablate.py VARIANT [REPS]
+
+The encode pass is bench.py's pseudolabel phase per batch: on-device uint8
+image -> normalize-folded patch embed -> 12-layer ViT-B/32 tower (fwd only,
+T=50 = 1 CLS + 49 patches) -> ln_post/proj -> L2 normalize -> logits ->
+softmax.  Each variant runs REPS batches fused into ONE jitted lax.scan
+program returning a scalar (readback over the ~165 MB/s tunnel is free).
+
+Variants:
+  calib      raw matmul chain at the tower's projection shapes = achievable peak
+  baseline   production semantics: folded u8 embed, fp32 LN, XLA head-split
+             attention with fp32 softmax (what auto dispatch picks when the
+             score tensor is cache-resident)
+  pallas     baseline but attention through the Pallas fused kernel
+  noattn     baseline minus the attention einsums (non-attention fwd floor)
+  noembed    baseline with pregenerated bf16 tokens (isolates u8-gen + embed)
+  bf16ln     baseline with bf16 LayerNorms (fp32 stats) - measure-only lever
+  nohead     baseline minus the logits+softmax head (isolates head cost)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+B = int(os.environ.get("ABL_B", 256))
+T, W, H, C, LAYERS, P, E = 50, 768, 12, 10, 12, 32, 512
+D = W // H
+BF = jnp.bfloat16
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
+)
+
+rng = np.random.default_rng(0)
+
+
+def mk(*shape, scale=0.02):
+    return jnp.asarray(rng.normal(0, scale, shape).astype(np.float32))
+
+
+params = dict(
+    conv_k=mk(P * P * 3, W), conv_b=mk(W),
+    cls=mk(W), pos=mk(T, W),
+    qkv_k=mk(LAYERS, W, 3 * W), qkv_b=mk(LAYERS, 3 * W),
+    out_k=mk(LAYERS, W, W), out_b=mk(LAYERS, W),
+    fc_k=mk(LAYERS, W, 4 * W), fc_b=mk(LAYERS, 4 * W),
+    proj_k=mk(LAYERS, 4 * W, W), proj_b=mk(LAYERS, W),
+    ln1_s=jnp.ones((LAYERS, W)), ln1_b=jnp.zeros((LAYERS, W)),
+    ln2_s=jnp.ones((LAYERS, W)), ln2_b=jnp.zeros((LAYERS, W)),
+    lnpre_s=jnp.ones((W,)), lnpre_b=jnp.zeros((W,)),
+    lnpost_s=jnp.ones((W,)), lnpost_b=jnp.zeros((W,)),
+    proj=mk(W, E, scale=0.03),
+)
+text = mk(C, E, scale=1.0)
+text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+
+
+def ln(x, s, b, f32=True):
+    xf = x.astype(jnp.float32)
+    m = xf.mean(-1, keepdims=True)
+    v = ((xf - m) ** 2).mean(-1, keepdims=True)
+    if f32:
+        return (xf - m) * lax.rsqrt(v + 1e-5) * s + b
+    return ((x.astype(BF) - m.astype(BF)) * lax.rsqrt(v + 1e-5).astype(BF)) * s.astype(
+        BF
+    ) + b.astype(BF)
+
+
+def attention(y, lw, mode):
+    qkv = y @ lw["qkv_k"].astype(BF) + lw["qkv_b"].astype(BF)
+    if mode == "noattn":
+        out = qkv[..., :W]
+    elif mode == "pallas":
+        from menghini_neurips23_tpu.ops.attention import fused_attention
+
+        out = fused_attention(qkv, None, H)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (D**-0.5)
+        attn = jax.nn.softmax(logits, axis=-1).astype(BF)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
+    return out @ lw["out_k"].astype(BF) + lw["out_b"].astype(BF)
+
+
+def encode_batch(params, u8_or_tokens, mode):
+    f32ln = mode != "bf16ln"
+    if mode == "noembed":
+        x = u8_or_tokens  # pregenerated (B, T, W) bf16 tokens
+    else:
+        # folded patch embed: uint8 pixels straight into one MXU matmul
+        # (ops/patch_embed.py semantics, kernel already fold-scaled here)
+        u8 = u8_or_tokens
+        gh = 224 // P
+        x = (
+            u8.reshape(B, gh, P, gh, P, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, gh * gh, P * P * 3)
+            .astype(BF)
+        )
+        x = x @ params["conv_k"].astype(BF) + params["conv_b"].astype(BF)
+        cls = jnp.broadcast_to(params["cls"].astype(BF), (B, 1, W))
+        x = jnp.concatenate([cls, x], axis=1) + params["pos"].astype(BF)
+
+    x = ln(x, params["lnpre_s"], params["lnpre_b"], f32ln).astype(BF)
+    layer_params = {
+        k: params[k]
+        for k in (
+            "qkv_k qkv_b out_k out_b fc_k fc_b proj_k proj_b "
+            "ln1_s ln1_b ln2_s ln2_b".split()
+        )
+    }
+    for i in range(LAYERS):
+        lw = {k: v[i] for k, v in layer_params.items()}
+        y = ln(x, lw["ln1_s"], lw["ln1_b"], f32ln).astype(BF)
+        x = x + attention(y, lw, mode)
+        y = ln(x, lw["ln2_s"], lw["ln2_b"], f32ln).astype(BF)
+        y = y @ lw["fc_k"].astype(BF) + lw["fc_b"].astype(BF)
+        y = y * jax.nn.sigmoid(1.702 * y)
+        y = y @ lw["proj_k"].astype(BF) + lw["proj_b"].astype(BF)
+        x = x + y
+    x = ln(x[:, 0], params["lnpost_s"], params["lnpost_b"], f32ln).astype(BF)
+    f = (x @ params["proj"].astype(BF)).astype(jnp.float32)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    if mode == "nohead":
+        return f.sum()
+    logits = 100.0 * f @ text.T
+    return jax.nn.softmax(logits, axis=-1).sum()
+
+
+def build(mode):
+    if mode == "calib":
+        a = mk(B * T, W, scale=1.0).astype(BF)
+        ws = [params["qkv_k"].astype(BF)[0], params["fc_k"].astype(BF)[0]]
+
+        @jax.jit
+        def run(a):
+            def body(x, _):
+                y = x @ ws[0]
+                x = y[:, :W] @ ws[1][:, :W].T @ ws[1][:, :W]
+                return x, y.sum()
+
+            x, s = lax.scan(body, a, None, length=REPS * 12)
+            return x.sum().astype(jnp.float32) + s.sum().astype(jnp.float32)
+
+        flops_per_rep = 12 * (2 * B * T * W * 3 * W + 2 * B * T * W * W * 2)
+        return run, (a,), flops_per_rep
+
+    if mode == "noembed":
+        toks = mk(B, T, W, scale=1.0).astype(BF)
+
+        @jax.jit
+        def run(params, toks):
+            def body(_, i):
+                return None, encode_batch(params, toks, mode)
+
+            _, s = lax.scan(body, None, jnp.arange(REPS))
+            return s.sum()
+
+        return run, (params, toks), fwd_flops()
+
+    @jax.jit
+    def run(params, seed):
+        key = jax.random.PRNGKey(seed)
+
+        def body(_, i):
+            u8 = jax.random.randint(
+                jax.random.fold_in(key, i), (B, 224, 224, 3), 0, 255, jnp.uint8
+            )
+            return None, encode_batch(params, u8, mode)
+
+        _, s = lax.scan(body, None, jnp.arange(REPS))
+        return s.sum()
+
+    return run, (params, jnp.int32(1)), fwd_flops()
+
+
+def fwd_flops():
+    """Accounted like bench.py: projection matmuls only (the MFU convention)."""
+    return 2 * B * T * 12 * W * W * LAYERS
+
+
+def main():
+    run, args, flops_per_rep = build(VARIANT)
+    t0 = time.perf_counter()
+    float(run(*args))
+    t_compile = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(*args))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    per_batch = dt / REPS
+    tflops = flops_per_rep / per_batch / 1e12
+    print(
+        f"RESULT {VARIANT} B={B}: {per_batch*1e3:.2f} ms/batch  "
+        f"{B/per_batch:.0f} img/s  {tflops:.1f} TFLOPS "
+        f"({100*tflops/197:.1f}% MFU)  "
+        f"(compile+1st {t_compile:.1f}s, runs {['%.3f' % t for t in times]})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,11 +71,13 @@ def leaderboard_top_k(
             new_labels += [cid] * len(members)
         return new_imgs, new_labels
 
-    # Native C++ cascade (identical semantics, ~100x) for big pools.
+    # Native C++ cascade (identical semantics, ~20-100x) once the pool is big
+    # enough to amortize the ctypes marshalling (measured: 4096x10 = 24.7 ms
+    # pure Python vs 1.2 ms native, byte-identical output).
     from menghini_neurips23_tpu.data._native import get_leaderboard
 
     native = get_leaderboard()
-    if native is not None and n * c >= 50_000:
+    if native is not None and n * c >= 10_000:
         probs32 = np.ascontiguousarray(probs, np.float32)
         idx, cols = native.leaderboard(
             probs32.tobytes(), list(filepaths), n, c, int(k)
