@@ -223,6 +223,10 @@ class TrainingStrategy:
     def _set_prompt_tree(self, tree):
         raise NotImplementedError
 
+    def _bump_prompt_version(self):
+        """Invalidate prompted-feature memos (any prompt mutation)."""
+        self._prompt_version = getattr(self, "_prompt_version", 0) + 1
+
     # ------------------------------------------------- generic SGD machinery
     def _make_step(self, n_classes: int):
         """Fused loss+grad+SGD update (torch.optim.SGD semantics: wd added to

@@ -50,12 +50,14 @@ class VisualStrategy(TrainingStrategy):
             )
         self._init_opt_state()
         self._text_feat_cache = {}
+        self._bump_prompt_version()
 
     def _get_prompt_tree(self):
         return self.prompt
 
     def _set_prompt_tree(self, tree):
         self.prompt = tree
+        self._bump_prompt_version()
 
     def _logits_fn(self):
         model = self.runtime.model
@@ -116,7 +118,16 @@ class VisualStrategy(TrainingStrategy):
         return fn
 
     def image_features(self, paths: Sequence[str], batch: int = 256) -> np.ndarray:
-        """Prompted, normalized image features for a file list."""
+        """Prompted, normalized image features for a file list.
+
+        Memoized on (prompt version, path list): prompted image features are
+        class-list-independent, so back-to-back evaluations over the same
+        files (finish_workflow's test_predictions + evaluation, reference
+        main_SSL.py:403+:418) run the prompted tower ONCE instead of twice."""
+        key = (getattr(self, "_prompt_version", 0), tuple(paths))
+        memo = getattr(self, "_img_feats_memo", None)
+        if memo is not None and memo[0] == key:
+            return memo[1]
         out = []
         for s in range(0, len(paths), batch):
             toks = self._features_for_paths(paths[s : s + batch], cache=False)
@@ -130,7 +141,9 @@ class VisualStrategy(TrainingStrategy):
                     np.float32,
                 )
             )
-        return np.concatenate(out) if out else np.empty((0,))
+        feats = np.concatenate(out) if out else np.empty((0,))
+        self._img_feats_memo = (key, feats)  # keep the latest only
+        return feats
 
     def _predict_logits(self, paths, class_list):
         tf = self._train_text_class_ids(class_list)  # frozen text features
@@ -149,3 +162,4 @@ class VisualStrategy(TrainingStrategy):
         if len(params) > 1 and params[1] is not None:
             self.prompt["deep"] = jnp.asarray(params[1])
         self._init_opt_state()
+        self._bump_prompt_version()
