@@ -70,10 +70,19 @@ unlabeled = DS(
 )
 unlabeled.filepaths = list(pool_paths)
 
+def _new_prompt_state():
+    """Perturb the prompt (and bump its version) like a real GRIP iteration:
+    the prompted-feature memo must NOT carry across iterations, only across
+    the two passes inside one refresh."""
+    tree = strat._get_prompt_tree()
+    strat._set_prompt_tree({k: v + 1e-4 for k, v in tree.items()})
+
+
 # warmup (compile the prompted tower pass)
 strat.get_pseudo_labels(copy.deepcopy(unlabeled))
 times = []
 for _ in range(3):
+    _new_prompt_state()
     t0 = time.perf_counter()
     strat.get_pseudo_labels(copy.deepcopy(unlabeled))
     times.append(time.perf_counter() - t0)

@@ -36,6 +36,13 @@ RUNNER = textwrap.dedent(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(local_devices)d"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache (content-addressed, safe
+    # across concurrent writers): the matrix spawns ~9 CLI processes that
+    # would otherwise each recompile the same tiny-arch programs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_tpu_test_jax_cache"),
+    )
     from menghini_neurips23_tpu.runners import main_ssl
     main_ssl.main([
         "--model_config", sys.argv[1], "--learning_paradigm", "ssl",
