@@ -101,6 +101,7 @@ class Config:
     GRIP_REFRESH: str = "onepass"  # onepass (score the pool once) | twopass (literal reference flow)
     FUSED_MAX_BYTES: int = 6_000_000_000  # fall back to the host loop above this feature size
     HOST_CACHE_BYTES: int = 4_000_000_000  # byte cap for the per-image host feature LRU
+    DECODE_CACHE_BYTES: int = 2_000_000_000  # byte cap for decoded uint8 images (0 = off); GRIP refreshes re-read the pool every iteration
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)
     FUSED_ATTENTION: str = "auto"  # auto (kernel when scores are HBM-sized) | on | off
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs

@@ -76,6 +76,35 @@ class ImageLoader:
         return out
 
 
+class CachingImageLoader:
+    """Wraps an ImageLoader with a byte-capped decoded-uint8 LRU keyed by
+    path.  GRIP's iterative refreshes re-read the same pool files every
+    iteration (reference re-opens each image per pass,
+    utils/clip_pseudolabels.py:31-44); the cache turns passes 2..N into pure
+    RAM reads.  ~150 KB per 224px image -> a 2 GB default cap holds a ~13k
+    pool."""
+
+    out_dtype = np.uint8
+
+    def __init__(self, inner, cache):
+        self.inner = inner
+        self.cache = cache  # BoundedFeatureCache
+        self.resolution = inner.resolution
+
+    def load_all(self, filepaths: Sequence[str]) -> np.ndarray:
+        R = self.resolution
+        have = {p: self.cache.get(p) for p in filepaths if p in self.cache}
+        missing = list(dict.fromkeys(p for p in filepaths if p not in have))
+        if missing:
+            decoded = self.inner.load_all(missing)
+            for p, img in zip(missing, decoded):
+                have[p] = img
+                self.cache.put(p, img)
+        if not filepaths:
+            return np.empty((0, R, R, 3), np.uint8)
+        return np.stack([have[p] for p in filepaths])
+
+
 class TransformImageLoader:
     """Per-item PIL decode + USER transform - the honored fast-path version of
     the reference's `self.transform` application in CustomDataset.__getitem__

@@ -90,6 +90,24 @@ class ClipRuntime:
         from menghini_neurips23_tpu.parallel import replicated
 
         self._osh = replicated(self.mesh) if self._pc > 1 else self._dsh
+        # decoded-uint8 LRU: GRIP's 10 refresh passes re-read the same pool
+        # files; passes 2..N become RAM reads (data/loader.CachingImageLoader)
+        from menghini_neurips23_tpu.utils.cache import BoundedFeatureCache
+
+        self._decode_cache = (
+            BoundedFeatureCache(cfg.DECODE_CACHE_BYTES)
+            if getattr(cfg, "DECODE_CACHE_BYTES", 0) > 0
+            else None
+        )
+
+    def _default_loader(self):
+        """The uint8 pipeline, wrapped with the decode cache when enabled."""
+        from menghini_neurips23_tpu.data.loader import CachingImageLoader, ImageLoader
+
+        inner = ImageLoader(self.arch.image_resolution)
+        if self._decode_cache is None:
+            return inner
+        return CachingImageLoader(inner, self._decode_cache)
 
     def put_rep(self, tree):
         """Host pytree -> jit-ready arrays (mesh-replicated when multi-host)."""
@@ -219,6 +237,8 @@ class ClipRuntime:
         bs = int(np.ceil(bs / self._dp) * self._dp)
         outs = []
         t0 = time.perf_counter()
+        if loader is None and cache is None and self._decode_cache is not None:
+            loader = self._default_loader()
         if self._pc > 1:
             outs = self._batched_pass_multihost(fn, filepaths, bs, loader)
         elif loader is not None:
@@ -258,11 +278,10 @@ class ClipRuntime:
         return np.concatenate(outs, axis=0) if outs else np.empty((0,))
 
     def _batched_pass_multihost(self, fn, filepaths, bs: int, loader=None):
-        from menghini_neurips23_tpu.data.loader import ImageLoader
         from menghini_neurips23_tpu.parallel import shard_filelist_for_batch
 
         if loader is None:
-            loader = ImageLoader(self.arch.image_resolution)
+            loader = self._default_loader()
         lbs = bs // self._pc  # rows owned by this host per global batch
         R = self.arch.image_resolution
         outs = []

@@ -76,43 +76,9 @@ class EpochData:
         return len(self.labels)
 
 
-class BoundedFeatureCache:
-    """Byte-capped LRU for per-image host features (VPT/UPT patch tokens are
-    ~150 KB/image fp32; an unbounded dict would silently grow to tens of GB
-    on a large GRIP pool)."""
-
-    def __init__(self, max_bytes: int):
-        from collections import OrderedDict
-
-        self.max_bytes = int(max_bytes)
-        self.nbytes = 0
-        self._d: "OrderedDict[str, np.ndarray]" = OrderedDict()
-
-    def __contains__(self, key) -> bool:
-        return key in self._d
-
-    def __len__(self) -> int:
-        return len(self._d)
-
-    def get(self, key):
-        v = self._d.get(key)
-        if v is not None:
-            self._d.move_to_end(key)
-        return v
-
-    def put(self, key, value: np.ndarray):
-        old = self._d.pop(key, None)
-        if old is not None:
-            self.nbytes -= old.nbytes
-        self._d[key] = value
-        self.nbytes += value.nbytes
-        while self.nbytes > self.max_bytes and len(self._d) > 1:
-            _, evicted = self._d.popitem(last=False)
-            self.nbytes -= evicted.nbytes
-
-    def clear(self):
-        self._d.clear()
-        self.nbytes = 0
+# Re-exported from utils.cache (moved there so the runtime's decoded-image
+# cache can use it without a training<->runtime import cycle).
+from menghini_neurips23_tpu.utils.cache import BoundedFeatureCache  # noqa: E402,F401
 
 
 class TrainingStrategy:
