@@ -168,7 +168,11 @@ def build(mode):
         @jax.jit
         def run(params, toks):
             def body(_, i):
-                return None, encode_batch(params, toks, mode)
+                # roll by the loop index so each iteration's input genuinely
+                # differs - a scan body that ignores its index over constant
+                # inputs gets CSE'd by XLA to ONE iteration and the timing
+                # is fiction (measured "619% MFU" before this)
+                return None, encode_batch(params, jnp.roll(toks, i, axis=0), mode)
 
             _, s = lax.scan(body, None, jnp.arange(REPS))
             return s.sum()

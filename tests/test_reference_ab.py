@@ -1,0 +1,234 @@
+"""TRUE A/B parity: run the ACTUAL reference code (imported read-only from
+/root/reference) against this framework on the same inputs.
+
+Everything else in the suite checks our implementations against
+independently-written oracles of the reference's documented formulas; these
+tests remove even that indirection for the pieces of the reference that are
+importable pure functions:
+
+- utils/prepare_data.py (stdlib+numpy+pandas only): class splits and
+  ELEVATER index parsing,
+- utils/clip_pseudolabels.py:compute_pseudo_labels: the per-image
+  leaderboard-with-cascade loop, driven by a stub CLIP returning OUR
+  precomputed probabilities (the reference's `clip` pip dependency is
+  stubbed in sys.modules; its model/`tokenize` are only pass-throughs in
+  this function).
+
+Skipped when /root/reference is not present.
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+
+def _load_ref(name: str, rel: str):
+    spec = importlib.util.spec_from_file_location(name, REF / rel)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_prepare():
+    return _load_ref("ref_prepare_data", "utils/prepare_data.py")
+
+
+@pytest.fixture(scope="module")
+def ref_pseudo():
+    # stub the pip `clip` package the reference imports: compute_pseudo_labels
+    # only calls clip.tokenize(prompts) and passes the result to the model
+    if "clip" not in sys.modules:
+        import torch
+
+        stub = types.ModuleType("clip")
+        stub.tokenize = lambda prompts: torch.zeros(len(prompts))
+        sys.modules["clip"] = stub
+    return _load_ref("ref_clip_pseudolabels", "utils/clip_pseudolabels.py")
+
+
+def test_class_split_matches_reference_exec(tmp_path, ref_prepare):
+    """get_class_names on an MNIST-layout dir: identical (classes, seen,
+    unseen) from the reference's code and ours, across all three seeds."""
+    from menghini_neurips23_tpu.data.prepare import get_class_names
+
+    root = tmp_path / "MNIST"
+    root.mkdir()
+    classes = [f"digit{i}" for i in range(10)]
+    # the reference MNIST branch reads labels.txt (prepare_data.py MNIST path)
+    (root / "labels.txt").write_text("\n".join(classes) + "\n")
+    for seed in (500, 0, 200):
+        ours = get_class_names("MNIST", str(tmp_path), seed)
+        theirs = ref_prepare.get_class_names("MNIST", str(tmp_path), seed)
+        assert list(ours[0]) == list(theirs[0]), seed
+        assert list(ours[1]) == list(theirs[1]), seed
+        assert list(ours[2]) == list(theirs[2]), seed
+
+
+def test_labeled_unlabeled_split_matches_reference_exec(tmp_path, ref_prepare):
+    """get_labeled_and_unlabeled_data on an MNIST-layout fixture: identical
+    (labeled, unlabeled, test) tuples from both implementations."""
+    from menghini_neurips23_tpu.data.prepare import (
+        get_class_names,
+        get_labeled_and_unlabeled_data,
+    )
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from conftest import make_mnist_fixture
+
+    root = tmp_path / "MNIST"
+    make_mnist_fixture(root)
+    classes, seen, unseen = get_class_names("MNIST", str(tmp_path), 500)
+    ours = get_labeled_and_unlabeled_data("MNIST", str(root), seen, unseen, classes)
+    theirs = ref_prepare.get_labeled_and_unlabeled_data(
+        "MNIST", str(root), seen, unseen, classes
+    )
+    for o, t in zip(ours, theirs):
+        assert list(o) == list(t)
+
+
+@pytest.fixture(scope="module")
+def ref_sched():
+    return _load_ref("ref_schedulers", "utils/schedulers.py")
+
+
+@pytest.mark.parametrize(
+    "sched,cfg_kw",
+    [
+        ("one_warmup_epoch", dict(WARMUP_EPOCHS=1, EPOCHS=10, WARMUP_LR=1e-4)),
+        ("steplr", dict(EPOCHS=8, STEP_SIZE=3)),
+    ],
+)
+def test_scheduler_matches_reference_exec(ref_sched, sched, cfg_kw):
+    """Per-epoch lrs: the reference's ACTUAL make_scheduler stepping a torch
+    optimizer vs our closed-form lr_for_epoch."""
+    import torch
+
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.training.schedulers import lr_for_epoch
+
+    cfg = Config(SCHEDULER=sched, LR=0.1, **cfg_kw)
+    p = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([p], lr=cfg.LR)
+    ref = ref_sched.make_scheduler(opt, cfg)
+    for e in range(cfg.EPOCHS):
+        torch_lr = opt.param_groups[0]["lr"]
+        assert lr_for_epoch(cfg, e) == pytest.approx(torch_lr, abs=1e-12), (
+            sched, e,
+        )
+        opt.step()
+        ref.step()
+
+
+@pytest.mark.parametrize("warmup,total", [(5, 150), (2, 10), (0, 6)])
+def test_cosine_lambda_matches_reference_exec(ref_sched, warmup, total):
+    """WarmupCosineSchedule.lr_lambda executed verbatim (the class itself
+    can't construct on modern torch - its LambdaLR(verbose=) kwarg was
+    removed - so the lambda is driven directly) vs our lr_for_epoch."""
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.training.schedulers import lr_for_epoch
+
+    cls = ref_sched.WarmupCosineSchedule
+    obj = cls.__new__(cls)
+    obj.warmup_steps, obj.t_total, obj.cycles = warmup, total, 0.5
+    cfg = Config(SCHEDULER="cosine", LR=0.1, WARMUP_EPOCHS=warmup, EPOCHS=total)
+    for e in range(total):
+        assert lr_for_epoch(cfg, e) == pytest.approx(
+            0.1 * obj.lr_lambda(e), abs=1e-12
+        ), e
+
+
+class _StubDataset:
+    def __init__(self, filepaths):
+        self.filepaths = list(filepaths)
+        self.labels = None
+
+
+def _run_reference_leaderboard(ref_pseudo, probs, filepaths, k, classnames,
+                               label_to_idx, tmp_path):
+    """Drive the reference's per-image loop with a stub CLIP that returns our
+    precomputed probability rows (pre-softmax logits via log: the reference
+    softmaxes internally)."""
+    import torch
+
+    row_of = {p: i for i, p in enumerate(filepaths)}
+    state = {"i": None}
+
+    def transform(img):
+        # called in filepath order; record which row the model should serve
+        return torch.zeros(1)
+
+    class _Model:
+        def __call__(self, img, text):
+            i = state["i"]
+            logits = torch.log(torch.tensor(probs[i], dtype=torch.float64))[None, :]
+            return logits, logits.T
+
+        def to(self, device):
+            return self
+
+    # wrap the dataset to advance the row counter as the loop iterates
+    class _CountingDataset(_StubDataset):
+        @property
+        def filepaths(self):
+            return self._fp
+
+        @filepaths.setter
+        def filepaths(self, v):
+            self._fp = list(v)
+
+    ds = _CountingDataset(filepaths)
+
+    class _TrackingList(list):
+        def __iter__(self):
+            for i, v in enumerate(super().__iter__()):
+                state["i"] = row_of[v]
+                yield v
+
+    ds._fp = _TrackingList(filepaths)
+    out = ref_pseudo.compute_pseudo_labels(
+        k, "a photo of a ", ds, classnames, transform, _Model(), label_to_idx,
+        "cpu", str(tmp_path / "ref_pseudo.pickle"),
+    )
+    labels = [int(l) for l in out.labels]
+    return list(out.filepaths), labels
+
+
+@pytest.mark.parametrize("k", [3, 10000000])
+def test_leaderboard_matches_reference_exec(tmp_path, ref_pseudo, k):
+    """The exact leaderboard cascade: reference loop (actually executing,
+    stub-CLIP-driven) vs our batched engine on identical probabilities."""
+    from menghini_neurips23_tpu.pseudo.engine import leaderboard_top_k
+
+    rng = np.random.default_rng(7)
+    n, C = 60, 5
+    probs = rng.dirichlet(np.ones(C) * 0.4, size=n)
+    # make real (empty) files so Image.open works in the reference loop
+    import PIL.Image
+
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img{i:03d}.png"
+        PIL.Image.new("RGB", (4, 4)).save(p)
+        paths.append(str(p))
+    classnames = [f"c{j}" for j in range(C)]
+    label_to_idx = {c: 10 + j for j, c in enumerate(classnames)}
+
+    ref_files, ref_labels = _run_reference_leaderboard(
+        ref_pseudo, probs, paths, k, classnames, label_to_idx, tmp_path
+    )
+    our_files, our_labels = leaderboard_top_k(
+        probs.astype(np.float64), paths, k, [label_to_idx[c] for c in classnames]
+    )
+    assert our_files == ref_files
+    assert [int(l) for l in our_labels] == ref_labels
