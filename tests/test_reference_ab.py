@@ -102,6 +102,45 @@ def ref_sched():
     return _load_ref("ref_schedulers", "utils/schedulers.py")
 
 
+@pytest.fixture(scope="module")
+def ref_metrics():
+    # compute_metrics instantiates a module-level accelerate.Accelerator();
+    # single-process CPU init is benign but can fail in exotic envs - skip then
+    try:
+        return _load_ref("ref_compute_metrics", "utils/compute_metrics.py")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference compute_metrics unimportable: {e}")
+
+
+@pytest.mark.parametrize("paradigm", ["ssl", "trzsl"])
+def test_evaluate_predictions_matches_reference_exec(ref_metrics, paradigm):
+    """Metric math + the basename join, reference code executing vs ours."""
+    import pandas as pd
+
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.evaluation.metrics import evaluate_predictions
+
+    rng = np.random.default_rng(3)
+    classes = [f"c{j}" for j in range(6)]
+    seen, unseen = classes[:4], classes[4:]
+    files = [f"root/sub/img{i:02d}.png" for i in range(40)]
+    truth = [classes[int(j)] for j in rng.integers(0, 6, 40)]
+    preds = [classes[int(j)] for j in rng.integers(0, 6, 40)]
+    df_preds = pd.DataFrame(
+        {"id": [f.split("/")[-1] for f in files], "class": preds}
+    )
+    cfg = Config(LEARNING_PARADIGM=paradigm)
+    ours = evaluate_predictions(cfg, df_preds.copy(), files, truth, unseen, seen)
+    theirs = ref_metrics.evaluate_predictions(
+        cfg, df_preds.copy(), files, truth, unseen, seen
+    )
+    for o, t in zip(ours, theirs):
+        if t is None:
+            assert o is None
+        else:
+            assert float(o) == pytest.approx(float(t), abs=1e-12)
+
+
 @pytest.mark.parametrize(
     "sched,cfg_kw",
     [
