@@ -72,7 +72,7 @@ def test_lowercase_and_whitespace_cleaning():
 
 
 def test_roundtrip_fuzz():
-    """Byte-level fallback must roundtrip arbitrary printable ASCII.  CLIP's
+    r"""Byte-level fallback must roundtrip arbitrary printable ASCII.  CLIP's
     token pattern splits every digit into its own token ([\p{N}]) and decode
     re-inserts word boundaries, so comparison ignores spacing (content must
     be preserved exactly); pure-letter strings roundtrip with spacing too."""
