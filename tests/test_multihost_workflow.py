@@ -43,9 +43,11 @@ RUNNER = textwrap.dedent(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_tpu_test_jax_cache"),
     )
-    from menghini_neurips23_tpu.runners import main_ssl
-    main_ssl.main([
-        "--model_config", sys.argv[1], "--learning_paradigm", "ssl",
+    from menghini_neurips23_tpu.runners import main_ssl, main_trzsl, main_ul
+    paradigm = sys.argv[2] if len(sys.argv) > 2 else "ssl"
+    runner = {"ssl": main_ssl, "trzsl": main_trzsl, "ul": main_ul}[paradigm]
+    runner.main([
+        "--model_config", sys.argv[1], "--learning_paradigm", paradigm,
     ])
     """
 )
@@ -77,8 +79,8 @@ def _write_config(tmp_path, artifact_dir, modality="text", **overrides):
 
 
 def _run(tmp_path, tag, n_procs, local_devices, port, model="textual_fpl",
-         modality="text", cfg_overrides=None, env_overrides=None,
-         expect_fail=False, reuse_dir=False):
+         modality="text", paradigm="ssl", cfg_overrides=None,
+         env_overrides=None, expect_fail=False, reuse_dir=False):
     """Run the SSL CLI with n_procs processes x local_devices CPU devices."""
     artifact_dir = tmp_path / tag
     artifact_dir.mkdir(parents=True, exist_ok=True)
@@ -110,7 +112,7 @@ def _run(tmp_path, tag, n_procs, local_devices, port, model="textual_fpl",
             )
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(script), str(cfg_path)],
+                [sys.executable, str(script), str(cfg_path), paradigm],
                 env=penv, cwd=str(tmp_path / tag),
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
@@ -144,14 +146,18 @@ def _assert_artifact_dirs_equal(single_dir, multi_dir, model):
                 else:
                     assert list(np.ravel(xa)) == list(np.ravel(xb))
 
-    # results JSONL accuracy identical
+    # results JSONL metrics identical (accuracy for ssl/ul; harmonic_mean +
+    # seen/unseen accuracies for trzsl)
     rs = json.loads(
         (single_dir / f"results_model_{model}.json").read_text().splitlines()[0]
     )
     rm = json.loads(
         (multi_dir / f"results_model_{model}.json").read_text().splitlines()[0]
     )
-    assert rm["accuracy"] == pytest.approx(rs["accuracy"], abs=1e-9)
+    metrics = [k for k in rs if k not in ("config", "model")]
+    assert metrics and set(metrics) == {k for k in rm if k not in ("config", "model")}
+    for k in metrics:
+        assert rm[k] == pytest.approx(rs[k], abs=1e-9), k
 
 
 def test_two_process_run_matches_single_process(tmp_path):
@@ -175,6 +181,25 @@ def test_four_process_visual_run_matches_single_process(tmp_path):
         tmp_path, "vmulti", n_procs=4, local_devices=2, port=29541, **kw
     )
     _assert_artifact_dirs_equal(single_dir, multi_dir, "visual_fpl")
+
+
+def test_trzsl_multimodal_run_matches_single_process(tmp_path):
+    """TRZSL (seen/unseen class split, balance-weighted two-term loss,
+    harmonic-mean validation) on the UPT multimodal modality - the paradigm
+    and the modality the rest of the matrix doesn't cover:
+    2 procs x 2 devices == 1 proc x 4 devices."""
+    _write_dataset(tmp_path)
+    kw = dict(
+        model="multimodal_fpl", modality="multi", paradigm="trzsl",
+        cfg_overrides={"EPOCHS": 2},
+    )
+    single_dir, _ = _run(
+        tmp_path, "tzsingle", n_procs=1, local_devices=4, port=0, **kw
+    )
+    multi_dir, _ = _run(
+        tmp_path, "tzmulti", n_procs=2, local_devices=2, port=29561, **kw
+    )
+    _assert_artifact_dirs_equal(single_dir, multi_dir, "multimodal_fpl")
 
 
 def test_iterative_kill_and_resume_across_process_group(tmp_path):
