@@ -1,0 +1,5 @@
+#!/bin/bash
+# Named wrapper (reference scripts/run_pseudolabels_trzsl.sh — identical launch
+# protocol to run_prompts_trzsl.sh; the reference pair differs only in the MODEL
+# list comment, e.g. textual_fpl/grip_* instead of *_prompt).
+exec "$(dirname "$0")/run_prompts.sh" trzsl
