@@ -1,0 +1,170 @@
+"""Aggregate results JSONL into the paper's mean +/- std tables.
+
+The reference reports every number as test accuracy averaged over 5 optimizer
+seeds (reference README.md "Results", tables at :132-174) but ships no
+aggregation tooling — users hand-average the `results_model_*.json` lines
+that `store_results` appends (reference utils/compute_metrics.py:58-103).
+This CLI reads any number of those files (ours or reference-produced — the
+line schema is shared: {"model", "config", metrics...}) and prints per-
+(dataset, paradigm, model, encoder, split-seed) mean +/- std across seeds:
+
+    python -m menghini_neurips23_tpu.aggregate [path ...] [--format md|json|csv]
+
+Paths may be files or directories (searched recursively for
+results_model_*.json); default is the current directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+from pathlib import Path
+from typing import Any, Dict, List
+
+GROUP_KEYS = ("DATASET_NAME", "LEARNING_PARADIGM", "MODEL", "VIS_ENCODER", "SPLIT_SEED")
+METRICS = ("accuracy", "harmonic_mean", "seen_accuracy", "unseen_accuracy")
+
+
+def collect_files(specs: List[str]) -> List[Path]:
+    out: List[Path] = []
+    for spec in specs:
+        p = Path(spec)
+        if p.is_dir():
+            out.extend(sorted(p.rglob("results_model_*.json")))
+        elif p.is_file():
+            out.append(p)
+        else:
+            raise FileNotFoundError(f"no such results file or directory: {spec!r}")
+    if not out:
+        raise FileNotFoundError(f"no results_model_*.json under {specs!r}")
+    # de-dup while keeping order (a dir spec may repeat an explicit file)
+    seen, uniq = set(), []
+    for p in out:
+        r = p.resolve()
+        if r not in seen:
+            seen.add(r)
+            uniq.append(p)
+    return uniq
+
+
+def load_rows(files: List[Path]) -> List[Dict[str, Any]]:
+    rows = []
+    for path in files:
+        for i, line in enumerate(path.read_text().splitlines()):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"{path}:{i + 1}: not a JSON line ({e})") from e
+            cfg = rec.get("config", {}) or {}
+            row = {k: cfg.get(k) for k in GROUP_KEYS}
+            row["MODEL"] = rec.get("model", row["MODEL"])
+            row["OPTIM_SEED"] = cfg.get("OPTIM_SEED")
+            row["metrics"] = {m: float(rec[m]) for m in METRICS if m in rec}
+            if not row["metrics"]:
+                raise ValueError(f"{path}:{i + 1}: no known metric in line")
+            rows.append(row)
+    return rows
+
+
+def _mean_std(vals: List[float]) -> tuple[float, float]:
+    n = len(vals)
+    mean = sum(vals) / n
+    # population std over the seed sample, like np.std default
+    var = sum((v - mean) ** 2 for v in vals) / n
+    return mean, math.sqrt(var)
+
+
+def aggregate(rows: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    groups: Dict[tuple, List[Dict[str, Any]]] = {}
+    for row in rows:
+        groups.setdefault(tuple(row[k] for k in GROUP_KEYS), []).append(row)
+    out = []
+    for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+        members = groups[key]
+        entry: Dict[str, Any] = dict(zip(GROUP_KEYS, key))
+        entry["n_runs"] = len(members)
+        entry["seeds"] = sorted(
+            {m["OPTIM_SEED"] for m in members if m["OPTIM_SEED"] is not None}
+        )
+        metric_names = sorted({m for r in members for m in r["metrics"]})
+        entry["metrics"] = {}
+        for m in metric_names:
+            vals = [r["metrics"][m] for r in members if m in r["metrics"]]
+            mean, std = _mean_std(vals)
+            entry["metrics"][m] = {"mean": mean, "std": std, "n": len(vals)}
+        out.append(entry)
+    return out
+
+
+def format_md(agg: List[Dict[str, Any]]) -> str:
+    lines = [
+        "| dataset | paradigm | model | encoder | split | runs | "
+        "metric | mean ± std |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for e in agg:
+        first = True
+        for m, s in e["metrics"].items():
+            head = (
+                [
+                    str(e["DATASET_NAME"]), str(e["LEARNING_PARADIGM"]),
+                    str(e["MODEL"]), str(e["VIS_ENCODER"]),
+                    str(e["SPLIT_SEED"]), str(e["n_runs"]),
+                ]
+                if first
+                else [""] * 6
+            )
+            first = False
+            lines.append(
+                "| " + " | ".join(head + [m, f"{s['mean']:.2f} ± {s['std']:.2f}"]) + " |"
+            )
+    return "\n".join(lines)
+
+
+def format_csv(agg: List[Dict[str, Any]]) -> str:
+    lines = ["dataset,paradigm,model,encoder,split,runs,metric,mean,std,n"]
+    for e in agg:
+        for m, s in e["metrics"].items():
+            lines.append(
+                ",".join(
+                    str(x)
+                    for x in (
+                        e["DATASET_NAME"], e["LEARNING_PARADIGM"], e["MODEL"],
+                        e["VIS_ENCODER"], e["SPLIT_SEED"], e["n_runs"],
+                        m, f"{s['mean']:.6g}", f"{s['std']:.6g}", s["n"],
+                    )
+                )
+            )
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Aggregate results_model_*.json across seeds (mean ± std)"
+    )
+    ap.add_argument("paths", nargs="*", default=["."],
+                    help="results files and/or directories (default: .)")
+    ap.add_argument("--format", choices=("md", "json", "csv"), default="md")
+    ap.add_argument("--output", default="", help="write here instead of stdout")
+    args = ap.parse_args(argv)
+
+    agg = aggregate(load_rows(collect_files(args.paths or ["."])))
+    if args.format == "json":
+        text = json.dumps(agg, indent=1)
+    elif args.format == "csv":
+        text = format_csv(agg)
+    else:
+        text = format_md(agg)
+    if args.output:
+        Path(args.output).write_text(text + "\n")
+    else:
+        print(text)
+    return agg
+
+
+if __name__ == "__main__":
+    main()
