@@ -12,6 +12,8 @@ Matrix (VERDICT r2 next-round #5):
 - 2 procs x 2 devices, textual_fpl  == 1 proc x 4 devices
 - 4 procs x 2 devices, visual_fpl   == 1 proc x 8 devices (the reference's
   production process count, accelerate_config.yml:8-9; visual modality)
+- 2 procs x 2 devices, grip_textual under UL == 1 proc x 4 devices (the
+  GRIP growth schedule + the UL pool-fold paradigm)
 - 2 procs x 2 devices iterative_textual_fpl killed after iteration 1 (fault
   injection), resumed across the process group == an uninterrupted group run
 """
@@ -200,6 +202,26 @@ def test_trzsl_multimodal_run_matches_single_process(tmp_path):
         tmp_path, "tzmulti", n_procs=2, local_devices=2, port=29561, **kw
     )
     _assert_artifact_dirs_equal(single_dir, multi_dir, "multimodal_fpl")
+
+
+def test_ul_grip_run_matches_single_process(tmp_path):
+    """UL paradigm (labeled pool folded into unlabeled, training on
+    pseudolabels over ALL classes — reference/methods/main_UL.py:114-115) with
+    the GRIP strategy (growing N_PSEUDOSHOTS quantile schedule) — the paradigm
+    and the strategy the rest of the matrix doesn't cover:
+    2 procs x 2 devices == 1 proc x 4 devices."""
+    _write_dataset(tmp_path)
+    kw = dict(
+        model="grip_textual", paradigm="ul",
+        cfg_overrides={"EPOCHS": 2, "STEP_QUANTILE": 50},  # 2 GRIP iterations
+    )
+    single_dir, _ = _run(
+        tmp_path, "ulsingle", n_procs=1, local_devices=4, port=0, **kw
+    )
+    multi_dir, _ = _run(
+        tmp_path, "ulmulti", n_procs=2, local_devices=2, port=29571, **kw
+    )
+    _assert_artifact_dirs_equal(single_dir, multi_dir, "grip_textual")
 
 
 def test_iterative_kill_and_resume_across_process_group(tmp_path):
