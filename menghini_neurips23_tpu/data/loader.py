@@ -67,11 +67,19 @@ class ImageLoader:
             out[done] = arr[done]
             todo = [i for i in todo if not ok[i]]
         if todo:
+            # files the native decoder rejected fall back to PIL; a file
+            # neither can decode must fail NAMING the file (a bare
+            # "Truncated File Read" is useless inside a 16k-image pool)
+            def _load(i):
+                try:
+                    return load_image(filepaths[i], R)
+                except Exception as e:
+                    raise OSError(
+                        f"cannot decode image {filepaths[i]!r}: {e}"
+                    ) from e
+
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for i, img in zip(
-                    todo,
-                    pool.map(lambda i: load_image(filepaths[i], R), todo),
-                ):
+                for i, img in zip(todo, pool.map(_load, todo)):
                     out[i] = img
         return out
 

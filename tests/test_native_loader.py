@@ -75,3 +75,15 @@ def test_image_loader_disabled_env(tmp_path, rng, monkeypatch):
     Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
     out = ImageLoader(32).load_all([str(p)])
     np.testing.assert_array_equal(out[0], load_image(str(p), 32))
+
+
+def test_undecodable_file_error_names_the_file(tmp_path, rng):
+    """A file neither the native decoder nor PIL can decode must raise an
+    error carrying the offending path (a bare codec message is useless
+    inside a multi-thousand-image pool)."""
+    good = tmp_path / "good.png"
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(good)
+    bad = tmp_path / "truncated.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0JUNK")
+    with pytest.raises(OSError, match="truncated.jpg"):
+        ImageLoader(32).load_all([str(good), str(bad)])
