@@ -2,17 +2,19 @@
 features injected (pool image features are computed once in production;
 here random normalized vectors stand in - timing measures the full GRIP
 machinery: pseudolabeling, leaderboard, merging, fused training, refresh)."""
-import time, numpy as np, jax.numpy as jnp
+import os, time, numpy as np, jax.numpy as jnp
 from menghini_neurips23_tpu.config import Config
 from menghini_neurips23_tpu.runtime import ClipRuntime
 from menghini_neurips23_tpu.training import TextualStrategy
 from menghini_neurips23_tpu.data import dataset_object
 
 POOL, C, EPOCHS, ITERS_Q = 16384, 10, 150, 10  # STEP_QUANTILE=10 -> 10 iterations
+BUCKETS = int(os.environ.get("BENCH_FUSED_BUCKETS", "2"))  # shape-ladder depth
 cfg = Config(VIS_ENCODER="ViT-B/32", BATCH_SIZE=256, EPOCHS=EPOCHS, LR=0.1,
              PREFIX_SIZE=16, OPTIM_SEED=1, PROMPT_TEMPLATE="a photo of a {}",
              MODEL="grip_textual", DATASET_NAME="MNIST", LEARNING_PARADIGM="ssl",
              COMPUTE_DTYPE="bfloat16", STEP_QUANTILE=ITERS_Q, N_PSEUDOSHOTS=16,
+             FUSED_BUCKETS=BUCKETS,
              ARTIFACT_DIR="/tmp/grip_artifacts", CHECKPOINT_ITER=False, RESUME=False)
 rt = ClipRuntime(cfg)
 classes = [str(i) for i in range(C)]
@@ -68,4 +70,4 @@ acc, params = strat.grip_train(train, val, unlabeled)
 t_total = time.perf_counter() - t0
 n_compiles = len(strat._fused_cache)
 print(f"RESULT grip_total={t_total:.1f}s iterations={ITERS_Q} epochs_per_iter={EPOCHS} "
-      f"pool={POOL} fused_compiles={n_compiles} best_val={acc:.3f}")
+      f"pool={POOL} buckets={BUCKETS} fused_compiles={n_compiles} best_val={acc:.3f}")

@@ -105,6 +105,7 @@ class Config:
     FUSED_REMAT: bool = False  # jax.checkpoint the vision tower inside fused steps (memory vs FLOPs)
     FUSED_ATTENTION: str = "auto"  # auto (kernel when scores are HBM-sized) | on | off
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
+    FUSED_BUCKETS: int = 2  # GRIP train-set shape ladder depth (1 = single full-pool bucket; 0 = exact per-iteration shapes); padding is masked, so this trades XLA compiles for padded-step compute
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     ARTIFACT_FORMAT: str = "numpy"  # numpy | torch (reference-compatible layout)

@@ -750,6 +750,11 @@ class TrainingStrategy:
         n = len(epoch)
         bs = self._batch_size()
         bucket = getattr(self, "_fused_bucket", None)
+        ladder = getattr(self, "_fused_bucket_ladder", None)
+        if ladder:
+            # smallest ladder rung that fits this iteration's set; the jit
+            # shape cache reuses each rung's program across iterations
+            bucket = next((b for b in ladder if b >= n), ladder[-1])
         n_slot = max(n, bucket) if bucket else n
         steps = int(np.ceil(n_slot / bs))
         pad_n = steps * bs
@@ -990,14 +995,38 @@ class TrainingStrategy:
         original_unlabeled = copy.deepcopy(unlabeled_data)
         original_val = copy.deepcopy(val_data)
 
-        # Fixed-shape bucketing: pad every iteration's training set to the
-        # maximum possible size (full pool + labeled shots) so the fused
-        # training program compiles ONCE and is reused across all growing
-        # GRIP iterations (SURVEY.md hard part #4).  Validation gets a fixed
-        # slot too (its pseudo-val share grows with the schedule).
-        self._fused_bucket = pool_size + len(train_data.filepaths)
+        # Fixed-shape bucketing (SURVEY.md hard part #4): pad each iteration's
+        # training set to one of FUSED_BUCKETS fixed sizes (a linear ladder up
+        # to full pool + labeled shots) so the growing GRIP sets reuse at most
+        # FUSED_BUCKETS compiled programs.  Padded batches are masked no-ops,
+        # so the bucket choice cannot change the math (pinned by
+        # tests/test_fused_train.py::test_grip_bucket_ladder_is_math_neutral);
+        # it only trades compiles for padding compute: one full-pool bucket
+        # runs ~10x the needed steps at GRIP iteration 1 (and for IFPL, whose
+        # training set never grows, at EVERY iteration).  FUSED_BUCKETS=0 uses
+        # exact per-iteration shapes (no padding waste; one compile per
+        # distinct size - free for IFPL's constant sizes, and free for any
+        # repeat run through the persistent compile cache).  Validation gets a
+        # fixed slot (its pseudo-val share grows with the schedule).
+        max_bucket = pool_size + len(train_data.filepaths)
+        n_buckets = int(getattr(cfg, "FUSED_BUCKETS", 2))
+        if not grow or n_buckets <= 0:
+            # IFPL's set size is ~constant across iterations: exact shapes
+            # compile once and waste nothing
+            self._fused_bucket_ladder = None
+            self._fused_bucket = None
+        else:
+            self._fused_bucket_ladder = [
+                int(math.ceil(max_bucket * j / n_buckets))
+                for j in range(1, n_buckets + 1)
+            ]
+            self._fused_bucket = max_bucket
         max_pseudo_val = pool_size - int(pool_size * cfg.ratio_train_val)
-        self._fused_val_bucket = len(val_data.filepaths) + max_pseudo_val + 1
+        self._fused_val_bucket = (
+            None
+            if self._fused_bucket is None
+            else len(val_data.filepaths) + max_pseudo_val + 1
+        )
 
         best_overall = -1.0
         best_params = self.epoch_parameters()
@@ -1070,6 +1099,7 @@ class TrainingStrategy:
             unlabeled_data = copy.deepcopy(original_unlabeled)
             train_data = copy.deepcopy(original_train)
         self._fused_bucket = None
+        self._fused_bucket_ladder = None
         self._fused_val_bucket = None
         return best_overall, best_params
 

@@ -139,6 +139,7 @@ def test_grip_fused_bucket_single_compile(tmp_path, mnist_fixture, tiny_runtime)
     cfg = _build_config(
         tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=2,
         N_PSEUDOSHOTS=2, RESUME=False, CHECKPOINT_ITER=False,
+        FUSED_BUCKETS=1,  # single full-pool bucket: the one-compile guarantee
     )
     classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
     strat = _strategy(TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled)
@@ -147,6 +148,36 @@ def test_grip_fused_bucket_single_compile(tmp_path, mnist_fixture, tiny_runtime)
     # 2 GRIP iterations with different train sizes -> ONE fused-cache entry
     assert len(strat._fused_cache) == 1, list(strat._fused_cache)
     assert strat._fused_bucket is None  # cleared after the loop
+
+
+def test_grip_bucket_ladder_is_math_neutral(tmp_path, mnist_fixture, tiny_runtime):
+    """FUSED_BUCKETS trades compiles for padded-step compute and must NOT
+    change results: exact shapes (0), one full-pool bucket (1), and a 3-rung
+    ladder produce identical accuracies and prompts (padding is masked;
+    trailing all-pad batches never apply)."""
+    from menghini_neurips23_tpu.training import TextualStrategy
+
+    root, _ = mnist_fixture
+    results = {}
+    for nb in (0, 1, 3):
+        cfg = _build_config(
+            tmp_path / f"nb{nb}", MODEL="grip_textual", STEP_QUANTILE=50,
+            EPOCHS=2, N_PSEUDOSHOTS=2, RESUME=False, CHECKPOINT_ITER=False,
+            FUSED_BUCKETS=nb,
+        )
+        classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+        strat = _strategy(
+            TextualStrategy, cfg, classes, l2i, tiny_runtime, root, unlabeled
+        )
+        acc, params = strat.grip_train(train, val, unlabeled)
+        results[nb] = (acc, params[0], len(strat._fused_cache))
+    acc0, p0, _ = results[0]
+    for nb in (1, 3):
+        acc, p, _ = results[nb]
+        assert acc == pytest.approx(acc0, abs=1e-6), nb
+        np.testing.assert_allclose(p, p0, rtol=1e-5, atol=1e-7)
+    # the 3-rung ladder actually exercised more than one shape
+    assert results[3][2] >= 2
 
 
 def test_bucketed_fused_equals_unbucketed(tmp_path, mnist_fixture, tiny_runtime):
@@ -190,7 +221,7 @@ def test_grip_single_compile_with_growing_pseudo_val(tmp_path, tiny_runtime, tmp
     unlabeled = DS(rest, str(root), train=True, labels=None, label_map=l2i)
     cfg = _build_config(
         tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=1,
-        RESUME=False, CHECKPOINT_ITER=False,
+        RESUME=False, CHECKPOINT_ITER=False, FUSED_BUCKETS=1,
     )
     strat = TextualStrategy(
         cfg, l2i, classes, classes, classes, data_folder=str(root),
