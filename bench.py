@@ -62,6 +62,7 @@ def main():
     from menghini_neurips23_tpu.models.prompts import (
         build_prompt_token_ids,
         coop_text_features,
+        truncate_context,
     )
     from menghini_neurips23_tpu.pseudo.engine import leaderboard_top_k
     from menghini_neurips23_tpu.tokenizer import get_tokenizer
@@ -78,7 +79,11 @@ def main():
 
     tok = get_tokenizer(None)
     classes = [f"class {i}" for i in range(N_CLASSES)]
-    token_ids = jnp.asarray(build_prompt_token_ids(tok, classes, PREFIX_LEN))
+    # production textual path: context truncated after the last EOT (exact
+    # under causal attention; TEXT_TRUNCATE default) - T 77 -> 24 here
+    token_ids = jnp.asarray(
+        truncate_context(build_prompt_token_ids(tok, classes, PREFIX_LEN))
+    )
     prefix0 = jnp.asarray(
         rng.normal(0, 0.02, (PREFIX_LEN, arch.transformer_width)).astype(np.float32)
     )
@@ -192,7 +197,8 @@ def main():
     # features), which is exactly the optimization the headline measures.
     PEAK_TFLOPS = 197.0
     Wv, Lv, Tv = arch.vision_width, arch.vision_layers, arch.num_patches + 1
-    Wt, Lt, Tt = arch.transformer_width, arch.transformer_layers, arch.context_length
+    # Tt = the ACTUAL context run (truncated), not 77 - MFU must count real FLOPs
+    Wt, Lt, Tt = arch.transformer_width, arch.transformer_layers, token_ids.shape[1]
     enc_flops_img = 2 * Tv * 12 * Wv * Wv * Lv
     enc_mfu = (POOL_N * enc_flops_img / t_encode) / (PEAK_TFLOPS * 1e12)
     txt_flops_step = 3 * N_CLASSES * (2 * Tt * 12 * Wt * Wt * Lt)

@@ -17,6 +17,7 @@ from menghini_neurips23_tpu.models.configs import (  # noqa: F401
 from menghini_neurips23_tpu.models.prompts import (  # noqa: F401
     UPTMixer,
     build_prompt_token_ids,
+    truncate_context,
     coop_text_features,
     init_prefix,
     init_upt_params,

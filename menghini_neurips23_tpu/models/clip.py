@@ -308,8 +308,11 @@ class TextTower(nn.Module):
         return self.token_embedding(ids)
 
     def encode_embeddings(self, x: jnp.ndarray, eot_idx: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, width) token embeddings + (B,) EOT positions -> (B, embed_dim)."""
-        x = x.astype(self.dtype) + self.positional_embedding.astype(self.dtype)
+        """(B, T, width) token embeddings + (B,) EOT positions -> (B, embed_dim).
+
+        T may be SHORTER than context_length (see prompts.truncate_context:
+        causal attention makes dropping trailing padding positions exact)."""
+        x = x.astype(self.dtype) + self.positional_embedding[: x.shape[1]].astype(self.dtype)
         x = self.transformer(x, "causal")
         x = self.ln_final(x).astype(self.dtype)
         x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0, :]

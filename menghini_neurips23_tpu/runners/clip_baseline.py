@@ -36,6 +36,10 @@ class ClipBaseline:
         reference does (clip_baseline.py:44-86)."""
         prompts = [format_prompt(self.template, c) for c in self.classes]
         ids = self.runtime.tokenizer.tokenize(prompts)
+        if getattr(self.config, "TEXT_TRUNCATE", True):
+            from menghini_neurips23_tpu.models.prompts import truncate_context
+
+            ids = truncate_context(ids)
         text = self.runtime.encode_text(ids, normalize=True)
         img = self.runtime.encode_images_from_files(
             data.filepaths, normalize=True,

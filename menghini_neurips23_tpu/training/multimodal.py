@@ -22,6 +22,7 @@ from menghini_neurips23_tpu.models.prompts import (
     build_prompt_token_ids,
     coop_text_features,
     init_upt_params,
+    truncate_context,
     vision_tokens_with_prefix,
 )
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
@@ -88,9 +89,12 @@ class MultimodalStrategy(TrainingStrategy):
         return jnp.bfloat16 if self.runtime.compute_dtype == jnp.bfloat16 else None
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
-        return build_prompt_token_ids(
+        ids = build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
         )
+        if self.config.TEXT_TRUNCATE:
+            ids = truncate_context(ids)
+        return ids
 
     # ----------------------------------------------------------- inference
     @functools.cached_property

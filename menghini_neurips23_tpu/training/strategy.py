@@ -374,6 +374,10 @@ class TrainingStrategy:
     def _zero_shot_text_features(self, class_list: Sequence[str]) -> np.ndarray:
         prompts = [format_prompt(self.template, c) for c in class_list]
         ids = self.runtime.tokenizer.tokenize(prompts)
+        if self.config.TEXT_TRUNCATE:
+            from menghini_neurips23_tpu.models.prompts import truncate_context
+
+            ids = truncate_context(ids)
         return self.runtime.encode_text(ids, normalize=True)
 
     def _zero_shot_probs(self, filepaths, class_list) -> np.ndarray:

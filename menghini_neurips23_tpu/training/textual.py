@@ -21,6 +21,7 @@ from menghini_neurips23_tpu.models.prompts import (
     build_prompt_token_ids,
     coop_text_features,
     init_prefix,
+    truncate_context,
 )
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
 
@@ -67,9 +68,12 @@ class TextualStrategy(TrainingStrategy):
         return self.runtime.arch.embed_dim * 4
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
-        return build_prompt_token_ids(
+        ids = build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.PREFIX_SIZE
         )
+        if self.config.TEXT_TRUNCATE:
+            ids = truncate_context(ids)
+        return ids
 
     # ----------------------------------------------------------- inference
     @functools.cached_property
