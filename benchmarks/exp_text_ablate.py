@@ -19,6 +19,9 @@ Variants:
            two_group_loss, momentum+wd) - the production-shaped step
   noperm   loop with jax.random.permutation replaced by an index roll
            (isolates the per-epoch device sort)
+  prebf16  base with all matmul weights pre-cast to bf16 OUTSIDE the jit
+           (probes whether XLA hoists the per-step fp32->bf16 weight cast
+           out of the scan - 75 MB of casts per step if it does not)
 """
 
 from __future__ import annotations
@@ -202,6 +205,14 @@ def build(mode):
         REPS_EFFECTIVE = epochs * n_steps
         return run, run_args, step_flops()
 
+    run_params = params
+    if mode == "prebf16":
+        mode = "base"
+        run_params = {
+            k: (v.astype(BF) if k.endswith("_k") or k == "proj" else v)
+            for k, v in params.items()
+        }
+
     @jax.jit
     def run(params, prefix):
         def body(p, _):
@@ -211,7 +222,7 @@ def build(mode):
         p, ls = lax.scan(body, prefix, None, length=REPS)
         return ls.sum() + p.sum().astype(jnp.float32)
 
-    return run, (params, prefix0), step_flops()
+    return run, (run_params, prefix0), step_flops()
 
 
 def step_flops(fwd_only=False):

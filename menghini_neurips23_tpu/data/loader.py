@@ -107,7 +107,10 @@ class CachingImageLoader:
             decoded = self.inner.load_all(missing)
             for p, img in zip(missing, decoded):
                 have[p] = img
-                self.cache.put(p, img)
+                # copy: img is a row VIEW of the whole decoded batch array -
+                # caching the view would pin the full batch while the LRU's
+                # nbytes accounting only counted one row
+                self.cache.put(p, img.copy())
         if not filepaths:
             return np.empty((0, R, R, 3), np.uint8)
         return np.stack([have[p] for p in filepaths])

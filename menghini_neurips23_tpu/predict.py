@@ -43,9 +43,12 @@ def collect_images(spec: str) -> List[str]:
         if not files:
             raise FileNotFoundError(f"no images under {spec!r}")
         return files
-    if p.suffix.lower() == ".txt":
-        return [l.strip() for l in p.read_text().splitlines() if l.strip()]
     if p.is_file():
+        if p.suffix.lower() == ".txt":
+            files = [l.strip() for l in p.read_text().splitlines() if l.strip()]
+            if not files:
+                raise FileNotFoundError(f"image list {spec!r} is empty")
+            return files
         return [str(p)]
     raise FileNotFoundError(f"--images target does not exist: {spec!r}")
 

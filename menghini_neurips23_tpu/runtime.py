@@ -42,15 +42,16 @@ class ClipRuntime:
         set_fused_attention(getattr(cfg, "FUSED_ATTENTION", "auto"))
         dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
+        # the model module itself is built ONCE below, after the mesh's
+        # data-parallel shard count is known (it is a module attribute)
         if cfg.CLIP_CKPT:
-            arch, model, params = load_clip(cfg.CLIP_CKPT)
-            self.model = CLIP(arch, dtype=dtype)
+            arch, _, params = load_clip(cfg.CLIP_CKPT)
             self.params = params
             self.arch = arch
         else:
             arch = get_arch(cfg.VIS_ENCODER)
             self.arch = arch
-            self.model, self.params = init_clip_params(arch, seed=0, dtype=dtype)
+            _, self.params = init_clip_params(arch, seed=0, dtype=dtype)
             if arch.name != "tiny-test":
                 log.warning(
                     "No CLIP_CKPT given - using RANDOM %s weights (throughput "

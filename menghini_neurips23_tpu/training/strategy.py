@@ -152,6 +152,10 @@ class TrainingStrategy:
         if self._active_transform is None:
             self._active_transform = tr
             self._feat_cache.clear()
+            # prompted-feature memos (visual/multimodal) were keyed before the
+            # transform became active - same staleness hazard as _feat_cache
+            self._img_feats_memo = None
+            self._logits_memo = None
         elif self._active_transform is not tr:
             raise ValueError(
                 "datasets carry different custom transforms; set the same "
@@ -169,7 +173,9 @@ class TrainingStrategy:
             for p, f in zip(missing, feats):
                 have[p] = f
                 if cache:
-                    self._feat_cache.put(p, f)
+                    # copy: f is a row view of the batch feature array; the
+                    # byte-capped LRU must own (and count) only this row
+                    self._feat_cache.put(p, f.copy())
         if not paths:
             return np.empty((0,))
         return np.stack([have[p] for p in paths])
@@ -915,12 +921,22 @@ class TrainingStrategy:
             class_folder=True,
             original_filepaths=unlabeled_examples.filepaths,
         )
-        if onepass:
-            perm = self._refresh_permutation(
+        perm = (
+            self._refresh_permutation(
                 unlabeled_examples.filepaths, pseudo_unseen.filepaths
             )
+            if onepass
+            else None
+        )
+        if perm is not None:
             probs = self._softmax64(logits[perm])
         else:
+            if onepass:
+                log.warning(
+                    "one-pass refresh: resolved paths are ambiguous "
+                    "(duplicate or unmatched basenames); falling back to the "
+                    "two-pass pool scoring for this iteration"
+                )
             probs = self._tuned_probs(pseudo_unseen.filepaths, classes)
         return compute_pseudo_labels(
             probs, pseudo_unseen, classes, self.label_to_idx, cfg.N_PSEUDOSHOTS,
@@ -928,21 +944,34 @@ class TrainingStrategy:
         )
 
     @staticmethod
-    def _refresh_permutation(pool_paths, resolved_paths) -> np.ndarray:
+    def _refresh_permutation(pool_paths, resolved_paths) -> Optional[np.ndarray]:
         """Map class_folder-resolved paths back to pool rows: exact path match
         first (the _OriginalPathLookup datasets return pool paths verbatim),
         basename fallback for layouts that rebuild the path string (DTD,
-        EuroSAT, RESICS45 - reference data/dataset.py:166-180,256-259)."""
+        EuroSAT, RESICS45 - reference data/dataset.py:166-180,256-259).
+
+        Returns None when the mapping is AMBIGUOUS (a needed basename is
+        duplicated across pool rows, or absent) - the caller then falls back
+        to two-pass scoring rather than silently re-using another image's
+        logits row."""
         by_path: Dict[str, int] = {}
         by_name: Dict[str, int] = {}
+        dupes = set()
         for i, p in enumerate(pool_paths):
             by_path.setdefault(p, i)
-            by_name.setdefault(p.split("/")[-1], i)
+            name = p.split("/")[-1]
+            if name in by_name:
+                dupes.add(name)
+            else:
+                by_name[name] = i
         idx = []
         for p in resolved_paths:
             j = by_path.get(p)
             if j is None:
-                j = by_name[p.split("/")[-1]]
+                name = p.split("/")[-1]
+                if name in dupes or name not in by_name:
+                    return None
+                j = by_name[name]
             idx.append(j)
         return np.asarray(idx, np.int64)
 

@@ -130,3 +130,26 @@ def test_bad_transform_output_raises(tr_data, tiny_runtime):
         tiny_runtime.encode_images_from_files(
             ds.filepaths, transform=lambda img: np.zeros((7, 7, 3), np.float32)
         )
+
+
+def test_transform_invalidates_prompted_feature_memo(tr_data, tiny_runtime):
+    """A strategy that served prompted features WITHOUT a transform must not
+    serve the memoized result once a transform-carrying dataset with the
+    SAME filepaths arrives (round-3 review fix: _note_transform clears the
+    visual/multimodal memos along with the feature cache)."""
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1,
+        PROMPT_TEMPLATE="a photo of a {}", DATASET_NAME="MNIST",
+        LEARNING_PARADIGM="ssl", MODALITY="image",
+    )
+    strat = VisualStrategy(cfg, l2i, classes, classes, classes, runtime=tiny_runtime)
+    ds_plain = DS(files, str(root), train=True, labels=None, label_map=l2i)
+    strat.test_predictions(ds_plain)  # populates the prompted-feature memo
+    base = strat._predict_logits(ds_plain.filepaths, classes)
+    ds_tr = DS(files, str(root), train=True, labels=None, label_map=l2i,
+               transform=shifted_transform(R))
+    strat.test_predictions(ds_tr)  # notes the transform -> memo must clear
+    via_tr = strat._predict_logits(ds_tr.filepaths, classes)
+    assert np.abs(via_tr - base).max() > 1e-3

@@ -75,3 +75,18 @@ def test_refresh_permutation_duplicate_paths_keep_first():
     pool = ["/d/0/img0.png", "/d/1/img0.png"]
     perm = TrainingStrategy._refresh_permutation(pool, pool)
     assert perm.tolist() == [0, 1]  # exact match wins over basename collision
+
+
+def test_refresh_permutation_ambiguous_basenames_return_none():
+    """A needed basename that is duplicated across pool rows (or absent)
+    must NOT silently map to the first pool row - the caller falls back to
+    two-pass scoring (round-3 review fix)."""
+    pool = ["/d/0/img0.png", "/d/1/img0.png"]
+    # rebuilt paths force the basename fallback; img0.png is ambiguous
+    assert TrainingStrategy._refresh_permutation(pool, ["/v/a/img0.png"]) is None
+    # unmatched basename: also ambiguous, not a KeyError
+    assert TrainingStrategy._refresh_permutation(pool, ["/v/a/other.png"]) is None
+    # unambiguous fallbacks still resolve
+    pool2 = ["/d/0/a.png", "/d/1/b.png"]
+    perm = TrainingStrategy._refresh_permutation(pool2, ["/v/x/b.png", "/v/x/a.png"])
+    assert perm.tolist() == [1, 0]

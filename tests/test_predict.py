@@ -102,3 +102,15 @@ def test_predict_missing_images_errors(pred_env):
              "--images", str(tmp / "nope")],
             env=env,
         )
+
+
+def test_collect_images_empty_and_missing_txt(tmp_path):
+    from menghini_neurips23_tpu.predict import collect_images
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="does not exist"):
+        collect_images(str(tmp_path / "missing.txt"))
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n\n")
+    with _pytest.raises(FileNotFoundError, match="is empty"):
+        collect_images(str(empty))

@@ -88,3 +88,24 @@ def test_streaming_visual_with_tiny_cache(tmp_path, mnist_fixture, tiny_runtime)
     acc, params = strat.train(train, val, only_seen=True)
     assert 0.0 <= acc <= 1.0
     assert len(strat._feat_cache) <= 1
+
+
+def test_caching_loader_owns_its_rows(tmp_path):
+    """Cached decode rows must be copies, not views of the whole decoded
+    batch array - a view pins the full batch while the byte-capped LRU only
+    counts one row (round-3 review fix)."""
+    import numpy as np
+    from menghini_neurips23_tpu.data.loader import CachingImageLoader
+    from menghini_neurips23_tpu.utils.cache import BoundedFeatureCache
+
+    class FakeInner:
+        resolution = 8
+        out_dtype = np.uint8
+
+        def load_all(self, files):
+            return np.zeros((len(files), 8, 8, 3), np.uint8)
+
+    loader = CachingImageLoader(FakeInner(), BoundedFeatureCache(10**6))
+    loader.load_all(["a", "b", "c"])
+    row = loader.cache.get("a")
+    assert row.base is None  # owns its memory
