@@ -72,6 +72,11 @@ def main():
 
     arch = VIT_B32
     model, params = init_clip_params(arch, seed=0, dtype=jnp.bfloat16)
+    # production semantics (PRECAST_WEIGHTS): matmul weights are cast to bf16
+    # once at init, not per apply - bit-identical, half the argument bytes
+    from menghini_neurips23_tpu.models.clip import precast_matmul_params
+
+    params = precast_matmul_params(params, jnp.bfloat16)
     rng = np.random.default_rng(0)
     kf_np, kbias_np = fold_normalization(
         np.asarray(params["params"]["visual"]["conv1_kernel"])

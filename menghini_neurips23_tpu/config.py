@@ -107,6 +107,7 @@ class Config:
     FUSED_EPOCH_CHUNK: int = 0  # >0: split fused training into programs of this many epochs
     FUSED_BUCKETS: int = 2  # GRIP train-set shape ladder depth (1 = single full-pool bucket; 0 = exact per-iteration shapes); padding is masked, so this trades XLA compiles for padded-step compute
     TEXT_TRUNCATE: bool = True  # drop text-context positions after the last EOT (exact under causal attention; ~3x on the per-step text tower). False = always run all 77 positions like the reference
+    PRECAST_WEIGHTS: bool = True  # bf16 compute only: cast transformer matmul weights to bf16 once at init instead of per jit apply (bit-identical; halves params-as-argument transfer + HBM weight bytes)
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     ARTIFACT_FORMAT: str = "numpy"  # numpy | torch (reference-compatible layout)

@@ -374,6 +374,37 @@ class CLIP(nn.Module):
         return logits_per_image, logits_per_image.T
 
 
+def precast_matmul_params(params, dtype: Dtype = jnp.bfloat16):
+    """Cast the transformer matmul weights (attention qkv/out, MLP, and the
+    tower projections) to the compute dtype ONCE instead of per jit apply.
+
+    Math-identical by construction: every cast leaf is consumed through
+    `.astype(self.dtype)` inside a dtype-typed module, so the same rounding
+    happens either way (pinned bit-exact by tests/test_clip_model.py).
+    LayerNorm scales/biases (consumed in fp32), embeddings, `conv1_kernel`
+    (folded in fp32 NumPy by ops/patch_embed.fold_normalization), and
+    `logit_scale` are left untouched.  Wins: params-as-jit-argument bytes
+    halve (they ride a ~165 MB/s tunnel here), HBM weight footprint drops,
+    and any per-step fp32->bf16 cast XLA fails to hoist out of a fused
+    training scan disappears."""
+    _CAST_PARENTS = {"out_proj", "c_fc", "c_proj"}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        name = path[-1] if path else ""
+        parent = path[-2] if len(path) > 1 else ""
+        if name in ("in_proj_kernel", "in_proj_bias"):
+            return node.astype(dtype)
+        if name in ("kernel", "bias") and parent in _CAST_PARENTS:
+            return node.astype(dtype)
+        if name == "text_projection" or (name == "proj" and parent == "visual"):
+            return node.astype(dtype)
+        return node
+
+    return rec(params, ())
+
+
 def init_clip_params(arch: CLIPArch, seed: int = 0, dtype: Dtype = jnp.float32):
     """Random-init CLIP parameters (used when no checkpoint is supplied)."""
     model = CLIP(arch, dtype=dtype)

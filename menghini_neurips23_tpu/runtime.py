@@ -58,6 +58,10 @@ class ClipRuntime:
                     "benchmarking only; supply a converted checkpoint for accuracy)",
                     arch.name,
                 )
+        if dtype == jnp.bfloat16 and getattr(cfg, "PRECAST_WEIGHTS", True):
+            from menghini_neurips23_tpu.models.clip import precast_matmul_params
+
+            self.params = precast_matmul_params(self.params, dtype)
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         self.params = jax.device_put(
             self.params, clip_param_sharding(self.mesh, self.params)

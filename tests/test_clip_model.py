@@ -157,3 +157,44 @@ def test_bfloat16_compute_close_to_fp32():
     n16 = n16 / jnp.linalg.norm(n16, axis=-1, keepdims=True)
     cos = (n32 * n16).sum(-1)
     assert (np.asarray(cos) > 0.98).all()
+
+
+def test_precast_matmul_params_is_bit_identical():
+    """precast_matmul_params moves the fp32->bf16 weight cast from apply time
+    to init time; under bf16 compute every output must be BIT-identical
+    (the same astype happens either way)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from menghini_neurips23_tpu.models import init_clip_params
+    from menghini_neurips23_tpu.models.clip import precast_matmul_params
+    from menghini_neurips23_tpu.models.configs import TINY_TEST
+    from menghini_neurips23_tpu.models.prompts import (
+        build_prompt_token_ids,
+        coop_text_features,
+        init_prefix,
+    )
+    from menghini_neurips23_tpu.tokenizer import get_tokenizer
+
+    model, params = init_clip_params(TINY_TEST, seed=0, dtype=jnp.bfloat16)
+    pre = precast_matmul_params(params, jnp.bfloat16)
+    # LN / embedding / conv leaves untouched, matmul kernels cast
+    assert pre["params"]["visual"]["conv1_kernel"].dtype == jnp.float32
+    blk = pre["params"]["text"]["transformer"]["resblocks_0"]
+    assert blk["attn"]["in_proj_kernel"].dtype == jnp.bfloat16
+    assert blk["ln_1"]["scale"].dtype == jnp.float32
+    assert pre["params"]["text"]["text_projection"].dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(get_tokenizer(None).tokenize(["a photo of a 0", "a 1"]))
+    prefix = init_prefix(jax.random.PRNGKey(1), 4, TINY_TEST.transformer_width)
+    tok = jnp.asarray(
+        build_prompt_token_ids(get_tokenizer(None), ["0", "1"], 4)
+    )
+    for fn in (
+        lambda p: model.apply(p, imgs, method="encode_image"),
+        lambda p: model.apply(p, ids, method="encode_text"),
+        lambda p: coop_text_features(model, p, prefix, tok),
+    ):
+        np.testing.assert_array_equal(np.asarray(fn(params)), np.asarray(fn(pre)))
