@@ -142,6 +142,95 @@ def format_csv(agg: List[Dict[str, Any]]) -> str:
     return "\n".join(lines)
 
 
+def load_baseline_tables() -> Dict[str, Any]:
+    """The reference's published accuracy tables (README.md:132-174),
+    bundled as JSON (see BASELINE.md for the transcription)."""
+    path = Path(__file__).parent / "data" / "baseline_tables.json"
+    return json.loads(path.read_text())
+
+
+def compare_to_baseline(
+    agg: List[Dict[str, Any]], budget: float = 0.3
+) -> List[Dict[str, Any]]:
+    """Match aggregated cells against the reference's published tables.
+
+    This is REPRODUCE.md's acceptance gate: a cell PASSes when our 5-seed
+    mean is within `budget` accuracy points of (or above) the reference's
+    published mean.  Only ViT-B/32 cells are comparable (the reference
+    publishes no other backbone).  TRZSL compares the harmonic mean, SSL/UL
+    plain accuracy; our stored fractions are scaled to percent."""
+    tables = load_baseline_tables()
+    out = []
+    for e in agg:
+        model, ds = e["MODEL"], e["DATASET_NAME"]
+        paradigm = str(e["LEARNING_PARADIGM"]).lower()
+        ref = tables.get(model, {}).get(ds, {}).get(paradigm)
+        if ref is None:
+            continue  # no published cell for this combination
+        if e["VIS_ENCODER"] not in ("ViT-B/32",):
+            out.append({**_cell_head(e), "status": "skipped (encoder not ViT-B/32)"})
+            continue
+        metric = "harmonic_mean" if paradigm == "trzsl" else "accuracy"
+        stat = e["metrics"].get(metric)
+        if stat is None:
+            out.append({**_cell_head(e), "status": f"skipped (no {metric})"})
+            continue
+        ours = 100.0 * stat["mean"]
+        delta = ours - ref
+        out.append(
+            {
+                **_cell_head(e),
+                "metric": metric,
+                "ours_pct": round(ours, 2),
+                "ours_std_pct": round(100.0 * stat["std"], 2),
+                "n_seeds": stat["n"],
+                "reference_pct": ref,
+                "delta_pct": round(delta, 2),
+                "status": "PASS" if delta >= -budget else "FAIL",
+            }
+        )
+    return out
+
+
+def _cell_head(e: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "dataset": e["DATASET_NAME"],
+        "paradigm": e["LEARNING_PARADIGM"],
+        "model": e["MODEL"],
+        "split_seed": e["SPLIT_SEED"],
+    }
+
+
+def format_baseline_md(cells: List[Dict[str, Any]], budget: float) -> str:
+    lines = [
+        f"Acceptance gate: ours >= reference - {budget} pt "
+        "(reference README.md:132-174 tables; see BASELINE.md)",
+        "",
+        "| dataset | paradigm | model | ours (mean ± std, n) | reference | delta | status |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for c in cells:
+        ours = (
+            f"{c['ours_pct']:.2f} ± {c['ours_std_pct']:.2f} (n={c['n_seeds']})"
+            if "ours_pct" in c
+            else "—"
+        )
+        lines.append(
+            "| "
+            + " | ".join(
+                [
+                    str(c["dataset"]), str(c["paradigm"]), str(c["model"]), ours,
+                    str(c.get("reference_pct", "—")), str(c.get("delta_pct", "—")),
+                    c["status"],
+                ]
+            )
+            + " |"
+        )
+    if not cells:
+        lines.append("| (no aggregated cell matches a published table cell) |")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Aggregate results_model_*.json across seeds (mean ± std)"
@@ -150,6 +239,13 @@ def main(argv=None):
                     help="results files and/or directories (default: .)")
     ap.add_argument("--format", choices=("md", "json", "csv"), default="md")
     ap.add_argument("--output", default="", help="write here instead of stdout")
+    ap.add_argument("--baseline", action="store_true",
+                    help="also compare against the reference's published "
+                         "tables (REPRODUCE.md acceptance gate)")
+    ap.add_argument("--budget", type=float, default=0.3,
+                    help="accuracy-point tolerance for --baseline (default 0.3)")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 if any --baseline cell FAILs")
     args = ap.parse_args(argv)
 
     agg = aggregate(load_rows(collect_files(args.paths or ["."])))
@@ -159,6 +255,15 @@ def main(argv=None):
         text = format_csv(agg)
     else:
         text = format_md(agg)
+    if args.baseline:
+        cells = compare_to_baseline(agg, args.budget)
+        text += "\n\n" + format_baseline_md(cells, args.budget)
+        if args.strict and any(c["status"] == "FAIL" for c in cells):
+            if args.output:
+                Path(args.output).write_text(text + "\n")
+            else:
+                print(text)
+            raise SystemExit(1)
     if args.output:
         Path(args.output).write_text(text + "\n")
     else:

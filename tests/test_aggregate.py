@@ -99,3 +99,74 @@ def test_errors(tmp_path):
     bad.write_text("not json\n")
     with pytest.raises(ValueError):
         agg_mod.load_rows([bad])
+
+
+def _grip_line(seed, acc, paradigm="ssl", dataset="MNIST", model="grip_textual",
+               metric="accuracy"):
+    return json.dumps(
+        {
+            "model": model,
+            "config": {
+                "DATASET_NAME": dataset,
+                "LEARNING_PARADIGM": paradigm,
+                "MODEL": model,
+                "VIS_ENCODER": "ViT-B/32",
+                "SPLIT_SEED": 500,
+                "OPTIM_SEED": seed,
+            },
+            metric: acc,
+        }
+    )
+
+
+def test_baseline_gate_pass_and_fail(tmp_path):
+    # reference grip_textual MNIST ssl = 71.8; ours at 71.6 mean -> within 0.3
+    (tmp_path / "results_model_grip_textual.json").write_text(
+        "\n".join(_grip_line(s, a) for s, a in zip([1, 2], [0.715, 0.717])) + "\n"
+    )
+    agg = agg_mod.aggregate(
+        agg_mod.load_rows(agg_mod.collect_files([str(tmp_path)]))
+    )
+    cells = agg_mod.compare_to_baseline(agg, budget=0.3)
+    assert len(cells) == 1 and cells[0]["status"] == "PASS"
+    assert cells[0]["reference_pct"] == 71.8
+    # a clearly-low mean FAILs
+    cells = agg_mod.compare_to_baseline(agg, budget=0.01)
+    assert cells[0]["status"] == "FAIL"
+
+
+def test_baseline_gate_trzsl_uses_harmonic_mean(tmp_path):
+    # reference grip_textual EuroSAT trzsl = 92.3 (harmonic mean)
+    (tmp_path / "results_model_grip_textual.json").write_text(
+        _grip_line(1, 0.925, paradigm="trzsl", dataset="EuroSAT",
+                   metric="harmonic_mean") + "\n"
+    )
+    agg = agg_mod.aggregate(
+        agg_mod.load_rows(agg_mod.collect_files([str(tmp_path)]))
+    )
+    cells = agg_mod.compare_to_baseline(agg)
+    assert cells and cells[0]["metric"] == "harmonic_mean"
+    assert cells[0]["status"] == "PASS"
+
+
+def test_baseline_gate_cli_strict(tmp_path, capsys):
+    (tmp_path / "results_model_grip_textual.json").write_text(
+        _grip_line(1, 0.10) + "\n"  # far below 71.8 -> strict exit 1
+    )
+    with pytest.raises(SystemExit):
+        agg_mod.main([str(tmp_path), "--baseline", "--strict"])
+    out = capsys.readouterr().out
+    assert "FAIL" in out and "71.8" in out
+
+
+def test_baseline_tables_cover_all_published_cells():
+    tables = agg_mod.load_baseline_tables()
+    datasets = {"Flowers102", "RESICS45", "FGVCAircraft", "MNIST", "EuroSAT", "DTD"}
+    for model in ("clip_baseline", "grip_textual", "grip_visual", "grip_multimodal"):
+        assert set(tables[model]) == datasets
+        for ds in datasets:
+            assert set(tables[model][ds]) == {"ssl", "ul", "trzsl"}, (model, ds)
+    for model in ("textual_prompt", "visual_prompt", "multimodal_prompt"):
+        for ds in datasets:
+            # supervised baselines publish no UL column
+            assert set(tables[model][ds]) == {"ssl", "trzsl"}, (model, ds)
