@@ -39,8 +39,10 @@ VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 
 B = int(os.environ.get("ABL_B", 256))
-C = 16 if VARIANT == "bigC" else 10
-T = 77 if VARIANT == "t77" else 24
+# c102/c102t77: Flowers102-scale class count (the bench's C=10 is the
+# smallest published workload; at C=102 the matmul M is 10x better filled)
+C = {"bigC": 16, "c102": 102, "c102t77": 102}.get(VARIANT, 10)
+T = 77 if VARIANT in ("t77", "c102t77") else 24
 W, H, LAYERS, E = 512, 8, 12, 512
 D = W // H
 BF = jnp.bfloat16
