@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import sys
 from pathlib import Path
 from typing import Any, Dict, List
 
@@ -249,25 +250,31 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     agg = aggregate(load_rows(collect_files(args.paths or ["."])))
+    cells = compare_to_baseline(agg, args.budget) if args.baseline else None
     if args.format == "json":
-        text = json.dumps(agg, indent=1)
+        # keep json machine-readable under --baseline: one object, not
+        # JSON-then-markdown (the gate cells are part of the payload)
+        payload = (
+            agg if cells is None
+            else {"aggregate": agg, "baseline_gate": {"budget": args.budget, "cells": cells}}
+        )
+        text = json.dumps(payload, indent=1)
     elif args.format == "csv":
         text = format_csv(agg)
     else:
         text = format_md(agg)
-    if args.baseline:
-        cells = compare_to_baseline(agg, args.budget)
-        text += "\n\n" + format_baseline_md(cells, args.budget)
-        if args.strict and any(c["status"] == "FAIL" for c in cells):
-            if args.output:
-                Path(args.output).write_text(text + "\n")
-            else:
-                print(text)
-            raise SystemExit(1)
+        if cells is not None:
+            text += "\n\n" + format_baseline_md(cells, args.budget)
     if args.output:
         Path(args.output).write_text(text + "\n")
     else:
         print(text)
+    if cells is not None and args.format == "csv":
+        # the csv output must stay one parseable table; the gate goes to
+        # stderr for the human running the acceptance check
+        print(format_baseline_md(cells, args.budget), file=sys.stderr)
+    if args.strict and cells is not None and any(c["status"] == "FAIL" for c in cells):
+        raise SystemExit(1)
     return agg
 
 

@@ -101,16 +101,7 @@ class CachingImageLoader:
 
     def load_all(self, filepaths: Sequence[str]) -> np.ndarray:
         R = self.resolution
-        have = {p: self.cache.get(p) for p in filepaths if p in self.cache}
-        missing = list(dict.fromkeys(p for p in filepaths if p not in have))
-        if missing:
-            decoded = self.inner.load_all(missing)
-            for p, img in zip(missing, decoded):
-                have[p] = img
-                # copy: img is a row VIEW of the whole decoded batch array -
-                # caching the view would pin the full batch while the LRU's
-                # nbytes accounting only counted one row
-                self.cache.put(p, img.copy())
+        have = self.cache.get_or_fill(filepaths, self.inner.load_all)
         if not filepaths:
             return np.empty((0, R, R, 3), np.uint8)
         return np.stack([have[p] for p in filepaths])

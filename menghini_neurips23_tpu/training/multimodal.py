@@ -127,7 +127,9 @@ class MultimodalStrategy(TrainingStrategy):
         # (identical class lists in SSL/UL) run the prompted towers ONCE
         key = (getattr(self, "_prompt_version", 0), tuple(paths), tuple(class_list))
         memo = getattr(self, "_logits_memo", None)
-        if memo is not None and memo[0] == key:
+        # an active user transform may be stochastic (the reference re-applies
+        # self.transform per access) - never serve memoized logits then
+        if memo is not None and memo[0] == key and self._active_transform is None:
             return memo[1]
         ids = np.asarray(self._train_text_class_ids(class_list))
         out = []

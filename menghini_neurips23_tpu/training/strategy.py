@@ -165,17 +165,18 @@ class TrainingStrategy:
 
     def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
         """Cached frozen representation per image, through the byte-capped
-        LRU.  Large inference pools pass cache=False and stream through."""
-        have = {p: self._feat_cache.get(p) for p in paths if p in self._feat_cache}
-        missing = list(dict.fromkeys(p for p in paths if p not in have))
-        if missing:
-            feats = self._encode_paths(missing)
-            for p, f in zip(missing, feats):
-                have[p] = f
-                if cache:
-                    # copy: f is a row view of the batch feature array; the
-                    # byte-capped LRU must own (and count) only this row
-                    self._feat_cache.put(p, f.copy())
+        LRU.  Large inference pools pass cache=False and stream through.
+
+        With an ACTIVE user transform the LRU is bypassed entirely: the
+        reference applies self.transform fresh on every dataset access
+        (data/dataset.py:64-79), so a stochastic transform must be re-sampled
+        per pass - per-path caching would freeze one sample and, worse, LRU
+        eviction would re-sample it mid-run, making features for one path
+        inconsistent within a run."""
+        if self._active_transform is not None:
+            feats = self._encode_paths(list(paths))
+            return feats if len(paths) else np.empty((0,))
+        have = self._feat_cache.get_or_fill(paths, self._encode_paths, store=cache)
         if not paths:
             return np.empty((0,))
         return np.stack([have[p] for p in paths])

@@ -126,7 +126,9 @@ class VisualStrategy(TrainingStrategy):
         main_SSL.py:403+:418) run the prompted tower ONCE instead of twice."""
         key = (getattr(self, "_prompt_version", 0), tuple(paths))
         memo = getattr(self, "_img_feats_memo", None)
-        if memo is not None and memo[0] == key:
+        # an active user transform may be stochastic (the reference re-applies
+        # self.transform per access) - never serve memoized features then
+        if memo is not None and memo[0] == key and self._active_transform is None:
             return memo[1]
         out = []
         for s in range(0, len(paths), batch):

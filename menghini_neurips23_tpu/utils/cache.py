@@ -43,3 +43,21 @@ class BoundedFeatureCache:
     def clear(self):
         self._d.clear()
         self.nbytes = 0
+
+    def get_or_fill(self, keys, compute, store: bool = True):
+        """Batch lookup: return {key: row} for `keys`, computing misses via
+        `compute(missing_keys) -> (len(missing), ...) array` in one call.
+
+        Rows handed to the cache are COPIED - `compute` typically returns a
+        batch array whose rows are views; caching a view would pin the whole
+        batch while nbytes accounting only counted one row.  `store=False`
+        computes misses without inserting them (streaming passes)."""
+        have = {k: self.get(k) for k in keys if k in self}
+        missing = list(dict.fromkeys(k for k in keys if k not in have))
+        if missing:
+            rows = compute(missing)
+            for k, row in zip(missing, rows):
+                have[k] = row
+                if store:
+                    self.put(k, row.copy())
+        return have

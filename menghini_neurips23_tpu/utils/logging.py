@@ -39,13 +39,21 @@ def _is_main_process() -> bool:
     # RANK).  When ranks come from jax.distributed auto-detection outside all
     # of these, records emitted BEFORE set_process_rank may duplicate across
     # processes - initialize_from_env/ClipRuntime narrow that window.
-    for var in ("JAX_PROCESS_ID", "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID", "RANK"):
+    for var in ("JAX_PROCESS_ID", "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID"):
         val = os.environ.get(var)
         if val:
             try:
                 return int(val) == 0
             except ValueError:
                 continue
+    # generic RANK only counts when WORLD_SIZE says we're actually in a
+    # multi-process launch - a stale RANK=1 inherited from an unrelated
+    # torchrun/SLURM wrapper must not mute a single-process run's early logs
+    try:
+        if int(os.environ.get("WORLD_SIZE", "1")) > 1:
+            return int(os.environ.get("RANK", "0")) == 0
+    except ValueError:
+        pass
     return True
 
 

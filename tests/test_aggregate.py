@@ -159,6 +159,30 @@ def test_baseline_gate_cli_strict(tmp_path, capsys):
     assert "FAIL" in out and "71.8" in out
 
 
+def test_baseline_json_and_csv_stay_machine_readable(tmp_path, capsys):
+    """--baseline must not corrupt the machine-readable formats: json carries
+    the gate as part of one parseable object; csv stays one table (the gate
+    goes to stderr for the human)."""
+    (tmp_path / "results_model_grip_textual.json").write_text(
+        _grip_line(1, 0.715) + "\n"
+    )
+    out_json = tmp_path / "agg.json"
+    agg_mod.main([str(tmp_path), "--format", "json", "--baseline",
+                  "--output", str(out_json)])
+    payload = json.loads(out_json.read_text())  # must parse cleanly
+    assert payload["baseline_gate"]["budget"] == 0.3
+    assert payload["baseline_gate"]["cells"][0]["status"] == "PASS"
+    assert payload["aggregate"]
+
+    out_csv = tmp_path / "agg.csv"
+    agg_mod.main([str(tmp_path), "--format", "csv", "--baseline",
+                  "--output", str(out_csv)])
+    lines = out_csv.read_text().splitlines()
+    assert lines[0].startswith("dataset,paradigm,model")
+    assert all(l.count(",") == lines[0].count(",") for l in lines if l)
+    assert "| MNIST | ssl | grip_textual |" in capsys.readouterr().err
+
+
 def test_baseline_tables_cover_all_published_cells():
     tables = agg_mod.load_baseline_tables()
     datasets = {"Flowers102", "RESICS45", "FGVCAircraft", "MNIST", "EuroSAT", "DTD"}

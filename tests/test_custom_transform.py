@@ -153,3 +153,41 @@ def test_transform_invalidates_prompted_feature_memo(tr_data, tiny_runtime):
     strat.test_predictions(ds_tr)  # notes the transform -> memo must clear
     via_tr = strat._predict_logits(ds_tr.filepaths, classes)
     assert np.abs(via_tr - base).max() > 1e-3
+
+
+def stochastic_transform(resolution):
+    """A random-augmentation transform (the reference applies self.transform
+    FRESH on every CustomDataset.__getitem__ access, so every access may
+    yield a different sample)."""
+    rng = np.random.default_rng(0)
+
+    def tr(img):
+        u8 = preprocess_pil(img, resolution)
+        x = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        return x + rng.normal(0, 0.5, x.shape).astype(np.float32)
+
+    return tr
+
+
+def test_stochastic_transform_resamples_per_pass(tr_data, tiny_runtime):
+    """With an active user transform the per-path feature cache and the
+    prompted memos are bypassed: a stochastic transform must be re-applied
+    per pass, never frozen to one cached sample per image (and never served
+    inconsistently after an LRU eviction)."""
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1,
+        PROMPT_TEMPLATE="a photo of a {}", DATASET_NAME="MNIST",
+        LEARNING_PARADIGM="ssl", MODALITY="image",
+    )
+    strat = VisualStrategy(cfg, l2i, classes, classes, classes, runtime=tiny_runtime)
+    ds = DS(files[:4], str(root), train=True, labels=None, label_map=l2i,
+            transform=stochastic_transform(R))
+    strat._note_transform(ds)
+    f1 = strat._features_for_paths(ds.filepaths)
+    f2 = strat._features_for_paths(ds.filepaths)
+    assert np.abs(f1 - f2).max() > 1e-4, "cached sample was frozen"
+    l1 = strat._predict_logits(ds.filepaths, classes)
+    l2 = strat._predict_logits(ds.filepaths, classes)
+    assert np.abs(l1 - l2).max() > 1e-5, "prompted memo served a stale sample"

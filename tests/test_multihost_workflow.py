@@ -82,7 +82,7 @@ def _write_config(tmp_path, artifact_dir, modality="text", **overrides):
 
 def _run(tmp_path, tag, n_procs, local_devices, port, model="textual_fpl",
          modality="text", paradigm="ssl", cfg_overrides=None,
-         env_overrides=None, expect_fail=False, reuse_dir=False):
+         env_overrides=None, expect_fail=False):
     """Run the SSL CLI with n_procs processes x local_devices CPU devices."""
     artifact_dir = tmp_path / tag
     artifact_dir.mkdir(parents=True, exist_ok=True)
