@@ -58,7 +58,17 @@ class ClipRuntime:
                     "benchmarking only; supply a converted checkpoint for accuracy)",
                     arch.name,
                 )
-        if dtype == jnp.bfloat16 and getattr(cfg, "PRECAST_WEIGHTS", True):
+        # NOT for multimodal runs: the fused UPT step (both prompted towers +
+        # mixer in one scan) sits on a measured v5e layout cliff - bf16-precast
+        # weights alone cost it ~25% (91-106 s vs 74 s per 150-epoch run,
+        # benchmarks/bisect_upt.py), while CoOp/VPT/encode are neutral-to-
+        # faster.  Same cliff class as TEXT_TRUNCATE there (multimodal.py).
+        precast = (
+            dtype == jnp.bfloat16
+            and getattr(cfg, "PRECAST_WEIGHTS", True)
+            and getattr(cfg, "MODALITY", "text") != "multi"
+        )
+        if precast:
             from menghini_neurips23_tpu.models.clip import precast_matmul_params
 
             self.params = precast_matmul_params(self.params, dtype)

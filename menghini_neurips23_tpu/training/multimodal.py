@@ -22,7 +22,6 @@ from menghini_neurips23_tpu.models.prompts import (
     build_prompt_token_ids,
     coop_text_features,
     init_upt_params,
-    truncate_context,
     vision_tokens_with_prefix,
 )
 from menghini_neurips23_tpu.training.strategy import TrainingStrategy
@@ -89,12 +88,15 @@ class MultimodalStrategy(TrainingStrategy):
         return jnp.bfloat16 if self.runtime.compute_dtype == jnp.bfloat16 else None
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
-        ids = build_prompt_token_ids(
+        # Deliberately NOT truncated (TEXT_TRUNCATE applies to the textual
+        # modality only): the UPT text tower is just C rows so truncation
+        # saves nothing, and on v5e the truncated-T fused UPT program lands on
+        # a measured layout cliff - ~25% slower per 150-epoch run (105.9 s vs
+        # 73.6 s, benchmarks/bisect_upt.py).  Exactness is unaffected either
+        # way (causal attention; positions past EOT are dead).
+        return build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
         )
-        if self.config.TEXT_TRUNCATE:
-            ids = truncate_context(ids)
-        return ids
 
     # ----------------------------------------------------------- inference
     @functools.cached_property
