@@ -19,6 +19,19 @@ from typing import Any, Dict
 
 import numpy as np
 
+
+def _to_torch(arr: np.ndarray):
+    """numpy -> torch tensor with OWNED, writable memory.  jax exports arrive
+    as non-writable views; torch.from_numpy on those warns and writing would
+    be undefined behavior."""
+    import torch
+
+    buf = np.ascontiguousarray(arr)
+    if not buf.flags.writeable:
+        buf = buf.copy()
+    return torch.from_numpy(buf)
+
+
 # flax mixer-transformer leaf <-> torch clip.Transformer state_dict key.
 # kernel layouts: flax Dense kernels are (in, out); torch weights are
 # (out, in) -> transpose on both crossings.
@@ -73,7 +86,7 @@ def mixer_transformer_to_torch_sd(flax_tree: Dict[str, Any]) -> Dict[str, Any]:
             arr = np.asarray(_get(block, path))
             if tr:
                 arr = arr.T
-            sd[f"resblocks.{idx}.{suffix}"] = torch.from_numpy(np.ascontiguousarray(arr))
+            sd[f"resblocks.{idx}.{suffix}"] = _to_torch(arr)
     return sd
 
 
@@ -97,8 +110,8 @@ def linear_to_torch_sd(flax_dense: Dict[str, Any]) -> Dict[str, Any]:
     import torch
 
     return {
-        "weight": torch.from_numpy(np.ascontiguousarray(np.asarray(flax_dense["kernel"]).T)),
-        "bias": torch.from_numpy(np.ascontiguousarray(np.asarray(flax_dense["bias"]))),
+        "weight": _to_torch(np.asarray(flax_dense["kernel"]).T),
+        "bias": _to_torch(np.asarray(flax_dense["bias"])),
     }
 
 
@@ -140,10 +153,7 @@ def tensor_list_to_torch(params):
     tensor list (textual/visual artifacts)."""
     import torch
 
-    return [
-        None if p is None else torch.from_numpy(np.ascontiguousarray(np.asarray(p)))
-        for p in params
-    ]
+    return [None if p is None else _to_torch(np.asarray(p)) for p in params]
 
 
 def tensor_list_from_torch(obj):
