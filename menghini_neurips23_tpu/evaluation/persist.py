@@ -117,6 +117,13 @@ def save_parameters(obj: List[np.ndarray], config, iteration=None):
         if torch_fmt:
             from menghini_neurips23_tpu.evaluation import interop
 
+            if config.MODALITY == "text":
+                # the reference's TextPrefixModel holds a BATCHED (1, L, W)
+                # prefix - CustomTextEncoder.forward reads L from dim 1 and
+                # only executes on a 3D tensor (reference
+                # clip_encoders.py:55-67) - so the torch-format artifact must
+                # carry the leading axis for reference tooling to load it
+                obj = [p if p is None or p.ndim != 2 else p[None] for p in obj]
             obj = interop.tensor_list_to_torch(obj)
         with open(file_name, "wb") as f:
             pickle.dump(obj, f)

@@ -108,5 +108,10 @@ class TextualStrategy(TrainingStrategy):
         return [np.asarray(self.prefix)]
 
     def load_parameters(self, params):
-        self.prefix = jnp.asarray(params[0])
+        p = np.asarray(params[0])
+        if p.ndim == 3 and p.shape[0] == 1:
+            # reference-produced textual artifacts carry the batched
+            # (1, L, W) prefix TextPrefixModel holds (clip_encoders.py:55-67)
+            p = p[0]
+        self.prefix = jnp.asarray(p)
         self._init_opt_state()

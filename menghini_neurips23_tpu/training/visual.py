@@ -160,7 +160,13 @@ class VisualStrategy(TrainingStrategy):
         return out
 
     def load_parameters(self, params):
-        self.prompt = {"prefix": jnp.asarray(params[0])}
+        p = np.asarray(params[0])
+        if p.ndim == 3 and p.shape[0] == 1:
+            # tolerate a reference-produced batched prefix
+            # (CustomVisionTransformer expands either rank,
+            # reference clip_encoders.py:148)
+            p = p[0]
+        self.prompt = {"prefix": jnp.asarray(p)}
         if len(params) > 1 and params[1] is not None:
             self.prompt["deep"] = jnp.asarray(params[1])
         self._init_opt_state()

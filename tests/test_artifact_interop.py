@@ -52,14 +52,19 @@ def test_write_torch_format_textual_roundtrip(tmp_path):
     cfg = _cfg(tmp_path, ARTIFACT_FORMAT="torch")
     params = [np.random.default_rng(0).normal(size=(16, 512)).astype(np.float32)]
     save_parameters(params, cfg)
-    # the file is literally a pickled list of torch tensors
+    # the file is literally a pickled list of torch tensors, carrying the
+    # BATCHED (1, L, W) prefix the reference's TextPrefixModel holds - the
+    # only rank CustomTextEncoder.forward executes on (reference
+    # clip_encoders.py:55-67), so reference tooling can load our artifact
     with open(_prompt_file_name(cfg), "rb") as f:
         raw = pickle.load(f)
     assert isinstance(raw[0], torch.Tensor)
-    np.testing.assert_array_equal(raw[0].numpy(), params[0])
-    # and loads back through our reader
+    assert raw[0].shape == (1, 16, 512)
+    np.testing.assert_array_equal(raw[0].numpy()[0], params[0])
+    # and loads back through our reader (strategies squeeze the leading axis,
+    # TextualStrategy.load_parameters)
     out = load_saved_parameters(cfg)
-    np.testing.assert_array_equal(out[0], params[0])
+    np.testing.assert_array_equal(np.asarray(out[0])[0], params[0])
 
 
 def _synthetic_multi_params(rng, dim=16, L=2):
