@@ -70,21 +70,24 @@ def _load_module(name, path, monkeypatch):
 
 
 class _OracleTransformer(torch.nn.Module):
-    """The causal text transformer in the (T, B, W) convention the real
+    """A transformer tower in the (T, B, W) convention the real
     clip.model.Transformer uses, built from the oracle block functions that
     are already pinned against our flax towers."""
 
-    def __init__(self, sd, arch):
+    def __init__(self, sd, key_prefix, layers, heads, causal):
         super().__init__()
-        self.sd, self.arch = sd, arch
+        self.sd = sd
+        self.key_prefix, self.layers, self.heads = key_prefix, layers, heads
+        self.causal = causal
 
     def forward(self, x):
-        T = x.shape[0]
-        mask = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
-        for i in range(self.arch.transformer_layers):
+        mask = None
+        if self.causal:
+            T = x.shape[0]
+            mask = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+        for i in range(self.layers):
             x = _torch_block(
-                x, self.sd, f"transformer.resblocks.{i}",
-                self.arch.transformer_heads, mask,
+                x, self.sd, f"{self.key_prefix}.resblocks.{i}", self.heads, mask
             )
         return x
 
@@ -96,7 +99,11 @@ class _FakeClipModel:
 
     def __init__(self, sd, arch):
         t = lambda k: torch.from_numpy(sd[k])
-        self.transformer = _OracleTransformer(sd, arch)
+        self._sd, self._arch = sd, arch
+        self.transformer = _OracleTransformer(
+            sd, "transformer", arch.transformer_layers,
+            arch.transformer_heads, causal=True,
+        )
         self.positional_embedding = t("positional_embedding")
         self.text_projection = t("text_projection")
         self.logit_scale = t("logit_scale")
@@ -116,6 +123,47 @@ class _FakeClipModel:
 
     def encode_image(self, img):
         return img
+
+    def encode_text(self, ids):
+        from tests.test_torch_parity import _torch_encode_text
+
+        return _torch_encode_text(self._sd, self._arch, ids)
+
+
+class _FakeVisionTransformer(torch.nn.Module):
+    """The attribute surface CustomVisionTransformer copies from the real
+    clip model's .visual (reference clip_encoders.py:108-121)."""
+
+    def __init__(self, sd, arch):
+        super().__init__()
+        t = lambda k: torch.from_numpy(sd[k])
+        W, P = arch.vision_width, arch.vision_patch_size
+        conv = torch.nn.Conv2d(3, W, P, stride=P, bias=False)
+        with torch.no_grad():
+            conv.weight.copy_(t("visual.conv1.weight"))
+        conv.weight.requires_grad_(False)
+        self.conv1 = conv
+        self.class_embedding = t("visual.class_embedding")
+        self.positional_embedding = t("visual.positional_embedding")
+
+        def ln(prefix):
+            m = torch.nn.LayerNorm(W, eps=1e-5)
+            with torch.no_grad():
+                m.weight.copy_(t(f"{prefix}.weight"))
+                m.bias.copy_(t(f"{prefix}.bias"))
+            for p in m.parameters():
+                p.requires_grad_(False)
+            return m
+
+        self.ln_pre = ln("visual.ln_pre")
+        self.ln_post = ln("visual.ln_post")
+        self.transformer = _OracleTransformer(
+            sd, "visual.transformer", arch.vision_layers, arch.vision_heads,
+            causal=False,
+        )
+        self.proj = t("visual.proj")
+        self.input_resolution = arch.image_resolution
+        self.output_dim = arch.embed_dim
 
 
 class _FeatDataset(torch.utils.data.Dataset):
@@ -146,9 +194,9 @@ def ab_setup():
     return a, sd, classes, l2i, labels, feats
 
 
-def _reference_textual_prompt(a, sd, monkeypatch, loss_log):
-    """Import the reference's textual_prompt module with its unpublished
-    dependencies stubbed, and return the TextualPrompt class."""
+def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text"):
+    """Import the reference's textual_prompt / visual_prompt module with its
+    unpublished dependencies stubbed, and return the strategy class."""
     tok = get_tokenizer()
 
     clip_stub = types.ModuleType("clip")
@@ -172,6 +220,8 @@ def _reference_textual_prompt(a, sd, monkeypatch, loss_log):
     models_stub = types.ModuleType("models")
     models_stub.CustomTextEncoder = enc.CustomTextEncoder
     models_stub.TextPrefixModel = pm.TextPrefixModel
+    models_stub.CustomImageEncoder = enc.CustomImageEncoder
+    models_stub.ImagePrefixModel = pm.ImagePrefixModel
     monkeypatch.setitem(sys.modules, "models", models_stub)
 
     # torch-version shim: the reference passes verbose=True to LambdaLR
@@ -205,11 +255,17 @@ def _reference_textual_prompt(a, sd, monkeypatch, loss_log):
             self.device = device
             self.dtype = torch.float32
             self.clip_model = _FakeClipModel(sd, a)
+            self.template = getattr(config, "PROMPT_TEMPLATE", "a photo of a {}")
 
         def declare_custom_encoder(self):
-            self.text_encoder = enc.CustomTextEncoder(
-                self.clip_model, self.device, self.dtype
-            )
+            if modality == "text":
+                self.text_encoder = enc.CustomTextEncoder(
+                    self.clip_model, self.device, self.dtype
+                )
+            else:
+                self.image_encoder = enc.CustomImageEncoder(
+                    _FakeVisionTransformer(sd, a)
+                )
 
         def initialize_prompts_parameters(self):
             # placeholder; the A/B seeds the prefix from our strategy so
@@ -240,18 +296,20 @@ def _reference_textual_prompt(a, sd, monkeypatch, loss_log):
     monkeypatch.setitem(sys.modules, "methods", methods_stub)
     monkeypatch.setitem(sys.modules, "methods.semi_supervised_learning", mss_stub)
 
-    tp = _load_module(
-        "_ref_textual_prompt",
-        REF / "methods/semi_supervised_learning/textual_prompt.py",
+    fname = "textual_prompt" if modality == "text" else "visual_prompt"
+    mod = _load_module(
+        f"_ref_{fname}",
+        REF / f"methods/semi_supervised_learning/{fname}.py",
         monkeypatch,
     )
-    return tp.TextualPrompt, sched_mod
+    cls = mod.TextualPrompt if modality == "text" else mod.VisualPrompt
+    return cls, sched_mod
 
 
 def test_reference_trainer_matches_ours(ab_setup, monkeypatch):
     a, sd, classes, l2i, labels, feats = ab_setup
     loss_log = []
-    TextualPrompt, sched_mod = _reference_textual_prompt(a, sd, monkeypatch, loss_log)
+    TextualPrompt, sched_mod = _reference_prompt_cls(a, sd, monkeypatch, loss_log)
 
     cfgNS = types.SimpleNamespace(
         EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine", LR=LR,
@@ -328,4 +386,109 @@ def test_reference_trainer_matches_ours(ab_setup, monkeypatch):
     np.testing.assert_allclose(losses_ours, loss_log, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(prefix_ours, prefix_ref, rtol=1e-3, atol=1e-5)
     # the trajectory moved (this isn't a frozen no-op comparison)
+    assert np.abs(prefix_ours - prefix0).max() > 1e-4
+
+
+def test_reference_visual_trainer_matches_ours(ab_setup, monkeypatch):
+    """Same A/B for VPT: the reference's published CustomVisionTransformer
+    (CLS-then-prefix splice, reference clip_encoders.py:123-193),
+    ImagePrefixModel, and visual_prompt._train_epoch (frozen templated text
+    features re-encoded per epoch, reference visual_prompt.py:88-150) against
+    our fused VPT step on identical images/weights/schedule."""
+    import torch.nn.functional as F
+
+    from tests.test_torch_parity import _torch_encode_text
+
+    a, sd, classes, l2i, labels, _ = ab_setup
+    loss_log = []
+    VisualPrompt, sched_mod = _reference_prompt_cls(
+        a, sd, monkeypatch, loss_log, modality="image"
+    )
+
+    cfgNS = types.SimpleNamespace(
+        EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine", LR=LR,
+        DECAY=DECAY, STEP_SIZE=1, PREFIX_SIZE=4, MEAN_INIT=0.0, VAR_INIT=0.02,
+        PROMPT_TEMPLATE="a photo of a {}",
+    )
+    ref = VisualPrompt(cfgNS, l2i, classes, classes, classes, "cpu")
+
+    cfg = Config(
+        VIS_ENCODER="tiny-test", BATCH_SIZE=B, PREFIX_SIZE=4, LR=LR,
+        DECAY=DECAY, EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine",
+        ACCUMULATION_ITER=ACCUM, PROMPT_TEMPLATE="a photo of a {}",
+        MODALITY="image",
+    )
+    rt = ClipRuntime(cfg)
+    arch, params = convert_state_dict(sd)
+    rt.params = params
+    from menghini_neurips23_tpu.training import VisualStrategy
+
+    strat = VisualStrategy(cfg, l2i, classes, classes, classes, runtime=rt)
+    prefix0 = np.asarray(strat.prompt["prefix"]).copy()
+
+    # identical inputs on both sides: raw images for the reference, the
+    # conv+CLS+pos tokens of the SAME images for our cached-token step
+    R = a.image_resolution
+    imgs = np.random.default_rng(5).normal(size=(N, 3, R, R)).astype(np.float32)
+    x = F.conv2d(
+        torch.from_numpy(imgs), torch.from_numpy(sd["visual.conv1.weight"]),
+        stride=a.vision_patch_size,
+    )
+    Bn, W = x.shape[0], x.shape[1]
+    x = x.reshape(Bn, W, -1).permute(0, 2, 1)
+    cls = torch.from_numpy(sd["visual.class_embedding"]).expand(Bn, 1, W)
+    tokens = (
+        torch.cat([cls, x], dim=1)
+        + torch.from_numpy(sd["visual.positional_embedding"])
+    ).numpy()
+
+    # frozen text features: the reference re-encodes the templated prompts
+    # (visual_prompt.py define_textual_prompts) - same oracle, same ids
+    prompts = [cfg.PROMPT_TEMPLATE.format(" ".join(c.split("_"))) for c in classes]
+    ids = rt.tokenizer.tokenize(prompts, context_length=a.context_length)
+    tf = _torch_encode_text(sd, a, torch.from_numpy(ids).long())
+    tf = (tf / tf.norm(dim=-1, keepdim=True)).numpy().astype(np.float32)
+
+    ref.model = sys.modules["_ref_prompts_models"].ImagePrefixModel(
+        torch.from_numpy(prefix0).clone(), ref.image_encoder, device="cpu"
+    )
+    ref.training_model = ref.model  # single-process accelerate prepare
+    ref.optimizer = torch.optim.SGD(
+        [ref.model.prefix], lr=LR, weight_decay=DECAY, momentum=0.0
+    )
+    ref.scheduler = sched_mod.make_scheduler(ref.optimizer, cfgNS)
+    loader = torch.utils.data.DataLoader(
+        _FeatDataset(imgs, labels), batch_size=B, shuffle=False
+    )
+    loss = total = 0.0
+    for e in range(EPOCHS):
+        assert ref.optimizer.param_groups[0]["lr"] == pytest.approx(
+            lr_for_epoch(cfg, e), abs=1e-12
+        )
+        loss, total, _ = ref._train_epoch(
+            loss, total, loader, accum_iter=ACCUM, epoch=e, only_seen=True
+        )
+    prefix_ref = ref.model.prefix.detach().numpy()
+    if prefix_ref.ndim == 3:
+        prefix_ref = prefix_ref[0]
+
+    step = strat._make_step(C)
+    group = np.zeros(B, np.int32)
+    valid = np.ones(B, np.float32)
+    losses_ours = []
+    for e in range(EPOCHS):
+        lr = lr_for_epoch(cfg, e)
+        n_batches = N // B
+        for si in range(n_batches):
+            sl = slice(si * B, (si + 1) * B)
+            apply = ((si + 1) % ACCUM == 0) or (si + 1 == n_batches)
+            l, _ = strat._apply_step(
+                step, tf, lr, tokens[sl], labels[sl].astype(np.int32),
+                group, valid, apply=apply,
+            )
+            losses_ours.append(l)
+    prefix_ours = np.asarray(strat.prompt["prefix"])
+
+    np.testing.assert_allclose(losses_ours, loss_log, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(prefix_ours, prefix_ref, rtol=1e-3, atol=1e-5)
     assert np.abs(prefix_ours - prefix0).max() > 1e-4
