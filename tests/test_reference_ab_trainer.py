@@ -170,15 +170,16 @@ class _FeatDataset(torch.utils.data.Dataset):
     """Yields the 5-tuple the reference CustomDataset yields
     (reference data/dataset.py __getitem__): (img, aug1, aug2, label, path)."""
 
-    def __init__(self, feats, labels):
+    def __init__(self, feats, labels, paths=None):
         self.feats, self.labels = feats, labels
+        self.paths = paths or [f"img{i}.png" for i in range(len(labels))]
 
     def __len__(self):
         return len(self.labels)
 
     def __getitem__(self, i):
         f = torch.from_numpy(self.feats[i])
-        return f, 0, 0, int(self.labels[i]), f"img{i}.png"
+        return f, 0, 0, int(self.labels[i]), self.paths[i]
 
 
 @pytest.fixture(scope="module")
@@ -194,9 +195,12 @@ def ab_setup():
     return a, sd, classes, l2i, labels, feats
 
 
-def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text"):
-    """Import the reference's textual_prompt / visual_prompt module with its
-    unpublished dependencies stubbed, and return the strategy class."""
+def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
+                          fpl=False):
+    """Import the reference's textual/visual/multimodal prompt module with
+    its unpublished dependencies stubbed, and return the strategy class.
+    fpl=True (text only) additionally loads textual_fpl.py on top and returns
+    TextualFPL - the published two-group pseudolabel loss policy."""
     tok = get_tokenizer()
 
     clip_stub = types.ModuleType("clip")
@@ -245,6 +249,10 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text"):
     utils_stub = types.ModuleType("utils")
     utils_stub.make_scheduler = sched_mod.make_scheduler
     utils_stub.seed_worker = lambda *aa, **kk: None
+    # only referenced by textual_fpl's dataset/pseudolabel methods, which the
+    # A/B does not drive
+    utils_stub.dataset_object = lambda *aa, **kk: None
+    utils_stub.pseudolabel_top_k = lambda *aa, **kk: None
     monkeypatch.setitem(sys.modules, "utils", utils_stub)
 
     class StubBase:
@@ -261,6 +269,7 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text"):
             self.dtype = torch.float32
             self.clip_model = _FakeClipModel(sd, a)
             self.template = getattr(config, "PROMPT_TEMPLATE", "a photo of a {}")
+            self.loss_func = torch.nn.CrossEntropyLoss()  # FPL cross_entropy
 
         def declare_custom_encoder(self):
             if modality in ("text", "multi"):
@@ -311,7 +320,17 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text"):
         REF / f"methods/semi_supervised_learning/{fname}.py",
         monkeypatch,
     )
-    return getattr(mod, cls_name), sched_mod
+    cls = getattr(mod, cls_name)
+    if fpl:
+        assert modality == "text"
+        mss_stub.TextualPrompt = cls  # textual_fpl imports it from the pkg
+        fpl_mod = _load_module(
+            "_ref_textual_fpl",
+            REF / "methods/semi_supervised_learning/textual_fpl.py",
+            monkeypatch,
+        )
+        cls = fpl_mod.TextualFPL
+    return cls, sched_mod
 
 
 def test_reference_trainer_matches_ours(ab_setup, monkeypatch):
@@ -676,3 +695,96 @@ def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(strat.upt_params["vpt"]), vpt_ref, rtol=2e-2, atol=2e-4
     )
+
+
+def test_reference_fpl_loss_policy_matches_ours(ab_setup, monkeypatch):
+    """FPL A/B: the reference's PUBLISHED two-group pseudolabel loss
+    (TextualFPL.define_loss_function/cross_entropy, reference
+    textual_fpl.py:123-164: balance_param * CE(labeled) + CE(pseudo), group
+    membership by path-in-unlabeled-set, empty group contributes 0) driven
+    through the published _train_epoch, against our two_group_loss fused step
+    with the SSL policy weights (SPEC #8/#9)."""
+    a, sd, classes, l2i, _, feats = ab_setup
+    loss_log = []
+    TextualFPL, sched_mod = _reference_prompt_cls(
+        a, sd, monkeypatch, loss_log, modality="text", fpl=True
+    )
+
+    # interleave labeled/pseudo so every batch exercises BOTH loss terms
+    paths = [
+        (f"lab{i}.png" if i % 2 == 0 else f"unl{i}.png") for i in range(N)
+    ]
+    pseudo_set = {p for p in paths if p.startswith("unl")}
+    labels = np.random.default_rng(9).integers(0, C, N).astype(np.int64)
+
+    cfgNS = types.SimpleNamespace(
+        EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine", LR=LR,
+        DECAY=DECAY, STEP_SIZE=1, PREFIX_SIZE=4, MEAN_INIT=0.0, VAR_INIT=0.02,
+        PROMPT_TEMPLATE="a photo of a {}",
+    )
+    ref = TextualFPL(cfgNS, l2i, ".", pseudo_set, classes, classes, classes, "cpu")
+
+    cfg = Config(
+        VIS_ENCODER="tiny-test", BATCH_SIZE=B, PREFIX_SIZE=4, LR=LR,
+        DECAY=DECAY, EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine",
+        ACCUMULATION_ITER=ACCUM, PROMPT_TEMPLATE="a photo of a {}",
+        TEXT_TRUNCATE=False, LEARNING_PARADIGM="ssl",
+    )
+    rt = ClipRuntime(cfg)
+    arch, params = convert_state_dict(sd)
+    rt.params = params
+    strat = TextualStrategy(cfg, l2i, classes, classes, classes, runtime=rt)
+    strat._set_loss_policy(n_pseudo=N // 2, n_labeled=N // 2)
+    prefix0 = np.asarray(strat.prefix).copy()
+
+    # the unpublished base sets balance_param; SPEC freezes it to the SSL
+    # ratio - hand the published loss the same value our policy computed
+    ref.balance_param = strat.balance_param
+    orig_dlf = ref.define_loss_function
+
+    def logged_dlf(logits, labs, img_paths):
+        out = orig_dlf(logits, labs, img_paths)
+        loss_log.append(float(out.detach()))
+        return out
+
+    ref.define_loss_function = logged_dlf
+
+    ref.model = sys.modules["_ref_prompts_models"].TextPrefixModel(
+        torch.from_numpy(prefix0).clone()[None], ref.text_encoder, classes,
+        device="cpu",
+    )
+    ref.optimizer = torch.optim.SGD(
+        [ref.model.prefix], lr=LR, weight_decay=DECAY, momentum=0.0
+    )
+    ref.scheduler = sched_mod.make_scheduler(ref.optimizer, cfgNS)
+    loader = torch.utils.data.DataLoader(
+        _FeatDataset(feats, labels, paths), batch_size=B, shuffle=False
+    )
+    loss = total = 0.0
+    for e in range(EPOCHS):
+        loss, total, _ = ref._train_epoch(
+            loss, total, loader, accum_iter=ACCUM, epoch=e, only_seen=False
+        )
+    prefix_ref = ref.model.prefix.detach().numpy()[0]
+
+    # ours: group 0 = labeled (w0 = balance), group 1 = pseudo (w1 = 1)
+    ids = build_prompt_token_ids(rt.tokenizer, classes, cfg.PREFIX_SIZE)
+    step = strat._make_step(C)
+    group_all = np.asarray([0 if p.startswith("lab") else 1 for p in paths], np.int32)
+    valid = np.ones(B, np.float32)
+    losses_ours = []
+    for e in range(EPOCHS):
+        lr = lr_for_epoch(cfg, e)
+        n_batches = N // B
+        for si in range(n_batches):
+            sl = slice(si * B, (si + 1) * B)
+            apply = ((si + 1) % ACCUM == 0) or (si + 1 == n_batches)
+            l, _ = strat._apply_step(
+                step, ids.astype(np.int32), lr, feats[sl],
+                labels[sl].astype(np.int32), group_all[sl], valid, apply=apply,
+            )
+            losses_ours.append(l)
+    prefix_ours = np.asarray(strat.prefix)
+
+    np.testing.assert_allclose(losses_ours, loss_log, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(prefix_ours, prefix_ref, rtol=1e-3, atol=1e-5)
