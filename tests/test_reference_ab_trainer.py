@@ -788,3 +788,79 @@ def test_reference_fpl_loss_policy_matches_ours(ab_setup, monkeypatch):
 
     np.testing.assert_allclose(losses_ours, loss_log, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(prefix_ours, prefix_ref, rtol=1e-3, atol=1e-5)
+
+
+class _TestFeatDataset(torch.utils.data.Dataset):
+    """The reference's TEST-split dataset surface: 4-tuple items
+    (img, aug1, aug2, path) plus .filepaths and a settable .transform
+    (test_predictions assigns self.transform before loading)."""
+
+    def __init__(self, feats, paths):
+        self.feats, self.filepaths = feats, list(paths)
+        self.transform = None
+
+    def __len__(self):
+        return len(self.filepaths)
+
+    def __getitem__(self, i):
+        return torch.from_numpy(self.feats[i]), 0, 0, self.filepaths[i]
+
+
+def test_reference_test_predictions_matches_ours(ab_setup, monkeypatch):
+    """Eval-path A/B: the reference's published test_predictions (reference
+    textual_prompt.py:226-297 - prompted text features once, batched frozen
+    image features, argmax -> label_to_idx -> classes round-trip, gather,
+    drop_duplicates) executed verbatim against our test_predictions on the
+    same weights/features.  Unique filenames make the reference's
+    drop_duplicates a no-op (we deliberately do exact unpadding instead,
+    SPEC #12)."""
+    a, sd, classes, l2i, _, feats = ab_setup
+    loss_log = []
+    TextualPrompt, _ = _reference_prompt_cls(a, sd, monkeypatch, loss_log)
+
+    cfgNS = types.SimpleNamespace(
+        EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine", LR=LR,
+        DECAY=DECAY, STEP_SIZE=1, PREFIX_SIZE=4, MEAN_INIT=0.0, VAR_INIT=0.02,
+        PROMPT_TEMPLATE="a photo of a {}", BATCH_SIZE=B,
+    )
+    ref = TextualPrompt(cfgNS, l2i, classes, classes, classes, "cpu")
+    ref.transform = None  # unpublished-base attr consumed by test_predictions
+
+    cfg = Config(
+        VIS_ENCODER="tiny-test", BATCH_SIZE=B, PREFIX_SIZE=4, LR=LR,
+        DECAY=DECAY, EPOCHS=EPOCHS, PROMPT_TEMPLATE="a photo of a {}",
+        TEXT_TRUNCATE=False, LEARNING_PARADIGM="ssl",
+    )
+    rt = ClipRuntime(cfg)
+    arch, params = convert_state_dict(sd)
+    rt.params = params
+    strat = TextualStrategy(cfg, l2i, classes, classes, classes, runtime=rt)
+    prefix0 = np.asarray(strat.prefix).copy()
+
+    ref.model = sys.modules["_ref_prompts_models"].TextPrefixModel(
+        torch.from_numpy(prefix0).clone()[None], ref.text_encoder, classes,
+        device="cpu",
+    )
+
+    paths = [f"t{i}.png" for i in range(N)]
+    ds_ref = _TestFeatDataset(feats, paths)
+    with torch.no_grad():
+        df_ref = ref.test_predictions(ds_ref, standard_zsl=False)
+
+    class DS:
+        filepaths = list(paths)
+        labels = [0] * N
+        label_id = True
+        label_map = l2i
+        transform = None
+
+        def label_ids(self):
+            return [0] * N
+
+    strat._features_for_paths = lambda p, cache=True: np.stack(
+        [feats[paths.index(x.split("/")[-1])] for x in p]
+    )
+    df_ours = strat.test_predictions(DS(), standard_zsl=False)
+
+    assert list(df_ref["id"]) == [p.split("/")[-1] for p in df_ours["id"]]
+    assert list(df_ref["class"]) == list(df_ours["class"])
