@@ -636,8 +636,8 @@ def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch):
         _FakeVisionTransformer(sd, a)
     )
     ref.model = pm.UPTModel(
-        torch.from_numpy(np.asarray(parts0[5]))[None].clone(),
-        torch.from_numpy(np.asarray(parts0[7]))[None].clone(),
+        torch.tensor(np.asarray(parts0[5]))[None],
+        torch.tensor(np.asarray(parts0[7]))[None],
         None, image_enc, text_enc, classes, 16, device="cpu",
         dtype=torch.float32,
     )
