@@ -43,7 +43,12 @@ class Config:
     DATASET_NAME: str = ""
     DATASET_DIR: str = ""
     MODEL: str = ""
-    MODALITY: str = "text"  # text | image | multi
+    # text | image | multi; "" derives from MODEL in __post_init__, so a
+    # Config built with only MODEL (the launcher protocol) carries the right
+    # modality BEFORE ClipRuntime construction - the bf16 precast gate keys
+    # off it (runtime.py), and a stale default would silently re-enable the
+    # measured UPT layout cliff for prebuilt-runtime flows
+    MODALITY: str = ""
     VIS_ENCODER: str = "ViT-B/32"
     LEARNING_PARADIGM: str = "ssl"  # ssl | ul | trzsl
     PROMPT_TEMPLATE: str = "a photo of a {}"
@@ -151,6 +156,16 @@ class Config:
         if cfg.DATASET_NAME == "Flowers102":
             cfg.N_LABEL = 2
         return cfg
+
+    def __post_init__(self):
+        if not self.MODALITY:
+            m = self.MODEL
+            if "multimodal" in m:
+                self.MODALITY = "multi"
+            elif "visual" in m:
+                self.MODALITY = "image"
+            else:
+                self.MODALITY = "text"
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)

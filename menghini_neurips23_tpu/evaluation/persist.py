@@ -109,8 +109,13 @@ def save_parameters(obj: List[np.ndarray], config, iteration=None):
                 continue
             part = obj[idx]
             if torch_fmt:
-                # reference pickles raw numpy for the 3 embedding parts
+                # reference pickles raw numpy for the 3 embedding parts, at
+                # the BATCHED rank UPTModel holds: coop/vpt are (1, L, W)
+                # (it sizes itself via size()[1]/[2], prompts_models.py:88-95;
+                # deep is already (depth, L, W))
                 part = None if part is None else np.asarray(part)
+                if part is not None and idx in (5, 7) and part.ndim == 2:
+                    part = part[None]
             with open(f"{base}_{name}.pickle", "wb") as f:
                 pickle.dump(part, f)
     else:
@@ -143,7 +148,12 @@ def _load_multi_part(base: str, idx: int, name: str):
         if idx in (1, 2, 3, 4) and isinstance(part, dict) and "weight" in part:
             return interop.multi_part_from_torch(idx, part)
         if idx >= 5:
-            return interop.to_numpy(part)
+            arr = interop.to_numpy(part)
+            if arr is not None and idx in (5, 7) and arr.ndim == 3 and arr.shape[0] == 1:
+                # reference UPTModel holds coop/vpt BATCHED (1, L, W)
+                # (prompts_models.py:88-95); our layout is (L, W)
+                arr = arr[0]
+            return arr
         return part
     pt = f"{base}_{name}.pt"
     if os.path.exists(pt):

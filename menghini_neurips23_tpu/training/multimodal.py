@@ -175,9 +175,16 @@ class MultimodalStrategy(TrainingStrategy):
                 "proj_vpt_post": params[4],
             }
         }
+        def unbatch(p):
+            # reference-produced artifacts carry the BATCHED (1, L, W)
+            # embeddings UPTModel holds (it sizes itself via size()[1]/[2],
+            # reference prompts_models.py:88-95); our mixer runs on (L, W)
+            p = np.asarray(p)
+            return p[0] if p.ndim == 3 and p.shape[0] == 1 else p
+
         self.upt_params = {
-            "coop": jnp.asarray(params[5]),
-            "vpt": jnp.asarray(params[7]),
+            "coop": jnp.asarray(unbatch(params[5])),
+            "vpt": jnp.asarray(unbatch(params[7])),
             "mixer": jax.tree.map(jnp.asarray, mixer_params),
         }
         if params[6] is not None:

@@ -172,3 +172,54 @@ def test_multimodal_loads_into_strategy(tmp_path, tiny_runtime):
     after = strat.epoch_parameters()
     for a, b in zip(before, after):
         _assert_tree_equal(a, b)
+
+
+def test_multimodal_torch_format_uses_reference_rank(tmp_path):
+    """torch-format coop/vpt embedding pickles carry the reference's BATCHED
+    (1, L, W) rank (UPTModel sizes itself via size()[1]/[2], reference
+    prompts_models.py:88-95), and both ranks load back to our (L, W)."""
+    rng = np.random.default_rng(3)
+    params = _synthetic_multi_params(rng)
+    cfg = _cfg(tmp_path, MODEL="multimodal_prompt", MODALITY="multi",
+               ARTIFACT_FORMAT="torch")
+    save_parameters(params, cfg)
+    base = _prompt_file_name(cfg).rsplit(".", 1)[0]
+    for idx, name in ((5, MULTI_PART_NAMES[5]), (7, MULTI_PART_NAMES[7])):
+        with open(f"{base}_{name}.pickle", "rb") as f:
+            raw = pickle.load(f)
+        assert raw.shape == (1,) + params[idx].shape, name
+    out = load_saved_parameters(cfg)
+    for ours, loaded in zip(params, out):
+        _assert_tree_equal(ours, loaded)
+
+
+def test_reference_rank_multimodal_loads_into_strategy(tmp_path, tiny_runtime):
+    """A reference-produced artifact (batched coop/vpt embeddings) loads into
+    a WORKING MultimodalStrategy - the UPT mixer runs on the squeezed (L, W)
+    rank (round-3 review fix: it previously crashed inside UPTMixer)."""
+    from menghini_neurips23_tpu.training import MultimodalStrategy
+
+    cfg = Config(
+        DATASET_NAME="MNIST", VIS_ENCODER="tiny-test", MODEL="multimodal_prompt",
+        LEARNING_PARADIGM="ssl", TEXT_PREFIX_SIZE=2, VISION_PREFIX_SIZE=2,
+        TRANSFORMER_DIM=16, OPTIM_SEED=1, PROMPT_TEMPLATE="a photo of a {}",
+    )
+    classes = ["0", "1", "2"]
+    l2i = {c: i for i, c in enumerate(classes)}
+    strat = MultimodalStrategy(cfg, l2i, classes, classes, classes,
+                               runtime=tiny_runtime)
+    parts = strat.epoch_parameters()
+    ref_rank = list(parts)
+    ref_rank[5] = np.asarray(parts[5])[None]  # reference batched rank
+    ref_rank[7] = np.asarray(parts[7])[None]
+    strat.load_parameters(ref_rank)
+    assert np.asarray(strat.upt_params["coop"]).ndim == 2
+    # the prompted towers actually run on the loaded params
+    import tempfile, pathlib
+    from tests.conftest import make_mnist_fixture
+
+    root = pathlib.Path(tempfile.mkdtemp()) / "MNIST"
+    make_mnist_fixture(root, n_per_class=2)
+    files = [str(root / "train" / c / "img0.png") for c in classes]
+    logits = strat._predict_logits(files, classes)
+    assert logits.shape == (3, 3) and np.isfinite(logits).all()

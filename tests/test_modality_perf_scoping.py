@@ -52,6 +52,21 @@ def test_multimodal_ids_are_never_truncated(tiny_runtime):
     assert st_text._train_text_class_ids(CLASSES).shape[1] < ids.shape[1]
 
 
+def test_modality_derived_from_model_name():
+    """MODALITY derives from MODEL at Config construction (review fix): a
+    runtime built from the launcher protocol alone - Config(MODEL=...) then
+    ClipRuntime(cfg) BEFORE build_strategy assigns MODALITY - must still hit
+    the multimodal precast gate."""
+    assert Config(MODEL="multimodal_fpl").MODALITY == "multi"
+    assert Config(MODEL="grip_visual").MODALITY == "image"
+    assert Config(MODEL="textual_prompt").MODALITY == "text"
+    assert Config(MODEL="clip_baseline").MODALITY == "text"
+    assert Config(MODEL="grip_multimodal", MODALITY="multi").MODALITY == "multi"
+
+    rt = ClipRuntime(_cfg(MODEL="grip_multimodal", COMPUTE_DTYPE="bfloat16"))
+    assert all(d == np.float32 for d in _matmul_leaf_dtypes(rt.params))
+
+
 def test_precast_skipped_for_multimodal_runtime():
     rt_multi = ClipRuntime(_cfg(MODALITY="multi", COMPUTE_DTYPE="bfloat16"))
     assert all(
