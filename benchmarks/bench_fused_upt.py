@@ -1,43 +1,16 @@
-import time, numpy as np, jax.numpy as jnp
+"""Full 150-epoch fused UPT training (2048 imgs, both prompted towers +
+mixer per step, FUSED_EPOCH_CHUNK=50).  One process per measurement.
+Measured (v5e): r2 77.7 s warm; round 3 (precast/truncation scoped off this
+modality - the UPT layout cliff, see bisect_upt.py) 70.3 s warm."""
 from menghini_neurips23_tpu.config import Config
-from menghini_neurips23_tpu.runtime import ClipRuntime
 from menghini_neurips23_tpu.training import MultimodalStrategy
 
-N, C, EPOCHS = 2048, 10, 150
-cfg = Config(VIS_ENCODER="ViT-B/32", BATCH_SIZE=256, EPOCHS=EPOCHS, LR=0.01,
+from _harness import run_fused_trainer
+
+cfg = Config(VIS_ENCODER="ViT-B/32", BATCH_SIZE=256, EPOCHS=150, LR=0.01,
              TEXT_PREFIX_SIZE=4, VISION_PREFIX_SIZE=4, TRANSFORMER_DIM=128,
              OPTIM_SEED=1, PROMPT_TEMPLATE="a photo of a {}",
              MODEL="multimodal_prompt", MODALITY="multi", DATASET_NAME="EuroSAT",
              LEARNING_PARADIGM="ssl", COMPUTE_DTYPE="bfloat16",
              FUSED_EPOCH_CHUNK=50)
-rt = ClipRuntime(cfg)
-classes = [f"class {i}" for i in range(C)]
-l2i = {c: i for i, c in enumerate(classes)}
-rng = np.random.default_rng(0)
-S, W = rt.arch.num_patches + 1, rt.arch.vision_width
-tok_train = rng.normal(0, 1, (N, S, W)).astype(np.float32)
-tok_val = rng.normal(0, 1, (256, S, W)).astype(np.float32)
-
-strat = MultimodalStrategy(cfg, l2i, classes, classes, classes, runtime=rt)
-def lookup(paths, cache=True):
-    out = [tok_train[int(p[1:])] if p[0] == "t" else tok_val[int(p[1:])] for p in paths]
-    return np.stack(out) if out else np.empty((0,))
-strat._features_for_paths = lookup
-
-class DS:
-    def __init__(self, n, pre):
-        self.filepaths = [f"{pre}{i}" for i in range(n)]
-        self.labels = [i % C for i in range(n)]
-        self.label_id = True
-        self.label_map = l2i
-    def label_ids(self):
-        return [int(l) for l in self.labels]
-
-t0 = time.perf_counter()
-acc, params = strat.train(DS(N, "t"), DS(256, "v"), only_seen=True)
-t_cold = time.perf_counter() - t0
-strat.initialize_prompts_parameters()
-t0 = time.perf_counter()
-acc2, _ = strat.train(DS(N, "t"), DS(256, "v"), only_seen=True)
-t_warm = time.perf_counter() - t0
-print(f"RESULT upt cold={t_cold:.1f}s warm={t_warm:.1f}s imgsteps/s={EPOCHS*N/t_warm:.0f}")
+run_fused_trainer(MultimodalStrategy, cfg, "upt")
