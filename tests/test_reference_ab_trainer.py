@@ -196,11 +196,12 @@ def ab_setup():
 
 
 def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
-                          fpl=False):
-    """Import the reference's textual/visual/multimodal prompt module with
-    its unpublished dependencies stubbed, and return the strategy class.
-    fpl=True (text only) additionally loads textual_fpl.py on top and returns
-    TextualFPL - the published two-group pseudolabel loss policy."""
+                          fpl=False, paradigm="semi_supervised_learning"):
+    """Import the reference's textual/visual/multimodal prompt module (from
+    the given paradigm dir) with its unpublished dependencies stubbed, and
+    return the strategy class.  fpl=True (text only) additionally loads
+    textual_fpl.py on top and returns TextualFPL - the published two-group
+    pseudolabel loss policy."""
     tok = get_tokenizer()
 
     clip_stub = types.ModuleType("clip")
@@ -303,12 +304,12 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
         def unwrap_model(self):
             return self.model
 
-    mss_stub = types.ModuleType("methods.semi_supervised_learning")
+    mss_stub = types.ModuleType(f"methods.{paradigm}")
     mss_stub.TrainingStrategy = StubBase
     methods_stub = types.ModuleType("methods")
-    methods_stub.semi_supervised_learning = mss_stub
+    setattr(methods_stub, paradigm, mss_stub)
     monkeypatch.setitem(sys.modules, "methods", methods_stub)
-    monkeypatch.setitem(sys.modules, "methods.semi_supervised_learning", mss_stub)
+    monkeypatch.setitem(sys.modules, f"methods.{paradigm}", mss_stub)
 
     fname, cls_name = {
         "text": ("textual_prompt", "TextualPrompt"),
@@ -316,8 +317,8 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
         "multi": ("multimodal_prompt", "MultimodalPrompt"),
     }[modality]
     mod = _load_module(
-        f"_ref_{fname}",
-        REF / f"methods/semi_supervised_learning/{fname}.py",
+        f"_ref_{paradigm}_{fname}",
+        REF / f"methods/{paradigm}/{fname}.py",
         monkeypatch,
     )
     cls = getattr(mod, cls_name)
@@ -325,8 +326,8 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
         assert modality == "text"
         mss_stub.TextualPrompt = cls  # textual_fpl imports it from the pkg
         fpl_mod = _load_module(
-            "_ref_textual_fpl",
-            REF / "methods/semi_supervised_learning/textual_fpl.py",
+            f"_ref_{paradigm}_textual_fpl",
+            REF / f"methods/{paradigm}/textual_fpl.py",
             monkeypatch,
         )
         cls = fpl_mod.TextualFPL
@@ -864,3 +865,100 @@ def test_reference_test_predictions_matches_ours(ab_setup, monkeypatch):
 
     assert list(df_ref["id"]) == [p.split("/")[-1] for p in df_ours["id"]]
     assert list(df_ref["class"]) == list(df_ours["class"])
+
+
+def test_reference_trzsl_fpl_loss_policy_matches_ours(ab_setup, monkeypatch):
+    """TRZSL paradigm A/B: the published transductive-ZSL FPL loss
+    (reference transductive_zsl/textual_fpl.py:117-147: CE(seen-labeled
+    samples) + balance * CE(unseen-pseudo samples), group membership by
+    LABEL-in-class-set) driven through the published TRZSL _train_epoch,
+    against our two_group_loss step with the TRZSL policy (w0=1,
+    w1=balance)."""
+    a, sd, _, _, _, feats = ab_setup
+    loss_log = []
+    TextualFPL, sched_mod = _reference_prompt_cls(
+        a, sd, monkeypatch, loss_log, modality="text", fpl=True,
+        paradigm="transductive_zsl",
+    )
+
+    classes = [f"c{i}" for i in range(4)]
+    seen, unseen = classes[:2], classes[2:]
+    l2i = {c: i for i, c in enumerate(classes)}
+    # labeled rows carry seen labels, pseudo rows unseen labels (TRZSL group
+    # membership is label-in-set; for the constructed sets it equals origin)
+    lab_rng = np.random.default_rng(13)
+    labels = np.asarray(
+        [lab_rng.integers(0, 2) if i % 2 == 0 else 2 + lab_rng.integers(0, 2)
+         for i in range(N)], np.int64,
+    )
+
+    cfgNS = types.SimpleNamespace(
+        EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine", LR=LR,
+        DECAY=DECAY, STEP_SIZE=1, PREFIX_SIZE=4, MEAN_INIT=0.0, VAR_INIT=0.02,
+        PROMPT_TEMPLATE="a photo of a {}",
+    )
+    ref = TextualFPL(cfgNS, l2i, ".", classes, seen, unseen, "cpu")
+
+    cfg = Config(
+        VIS_ENCODER="tiny-test", BATCH_SIZE=B, PREFIX_SIZE=4, LR=LR,
+        DECAY=DECAY, EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine",
+        ACCUMULATION_ITER=ACCUM, PROMPT_TEMPLATE="a photo of a {}",
+        TEXT_TRUNCATE=False, LEARNING_PARADIGM="trzsl",
+    )
+    rt = ClipRuntime(cfg)
+    arch, params = convert_state_dict(sd)
+    rt.params = params
+    strat = TextualStrategy(cfg, l2i, classes, seen, unseen, runtime=rt)
+    strat._set_loss_policy(n_pseudo=N // 2, n_labeled=N // 2)
+    assert strat._w0 == 1.0 and strat._w1 == strat.balance_param
+    prefix0 = np.asarray(strat.prefix).copy()
+
+    ref.balance_param = strat.balance_param
+    orig_dlf = ref.define_loss_function
+
+    def logged_dlf(logits, labs):
+        out = orig_dlf(logits, labs)
+        loss_log.append(float(out.detach()))
+        return out
+
+    ref.define_loss_function = logged_dlf
+
+    ref.model = sys.modules["_ref_prompts_models"].TextPrefixModel(
+        torch.from_numpy(prefix0).clone()[None], ref.text_encoder, classes,
+        device="cpu",
+    )
+    ref.optimizer = torch.optim.SGD(
+        [ref.model.prefix], lr=LR, weight_decay=DECAY, momentum=0.0
+    )
+    ref.scheduler = sched_mod.make_scheduler(ref.optimizer, cfgNS)
+    loader = torch.utils.data.DataLoader(
+        _FeatDataset(feats, labels), batch_size=B, shuffle=False
+    )
+    loss = total = 0.0
+    for e in range(EPOCHS):
+        loss, total, _ = ref._train_epoch(
+            loss, total, loader, accum_iter=ACCUM, epoch=e, only_seen=False
+        )
+    prefix_ref = ref.model.prefix.detach().numpy()[0]
+
+    # ours: group 0 = labeled/seen (w0=1), group 1 = pseudo/unseen (w1=balance)
+    ids = build_prompt_token_ids(rt.tokenizer, classes, cfg.PREFIX_SIZE)
+    step = strat._make_step(len(classes))
+    group_all = np.asarray([0 if i % 2 == 0 else 1 for i in range(N)], np.int32)
+    valid = np.ones(B, np.float32)
+    losses_ours = []
+    for e in range(EPOCHS):
+        lr = lr_for_epoch(cfg, e)
+        n_batches = N // B
+        for si in range(n_batches):
+            sl = slice(si * B, (si + 1) * B)
+            apply = ((si + 1) % ACCUM == 0) or (si + 1 == n_batches)
+            l, _ = strat._apply_step(
+                step, ids.astype(np.int32), lr, feats[sl],
+                labels[sl].astype(np.int32), group_all[sl], valid, apply=apply,
+            )
+            losses_ours.append(l)
+    prefix_ours = np.asarray(strat.prefix)
+
+    np.testing.assert_allclose(losses_ours, loss_log, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(prefix_ours, prefix_ref, rtol=1e-3, atol=1e-5)
