@@ -61,7 +61,8 @@ def _make_state_dict(a, rng):
 
 def _torch_block(x, sd, prefix, heads, mask=None):
     """One pre-LN residual attention block, (T, B, W) like OpenAI CLIP."""
-    t = lambda k: torch.from_numpy(sd[k])
+    # jax-exported sd values arrive non-writable; torch warns on from_numpy
+    t = lambda k: torch.from_numpy(sd[k] if sd[k].flags.writeable else sd[k].copy())
     W = x.shape[-1]
     y = F.layer_norm(x, (W,), t(f"{prefix}.ln_1.weight"), t(f"{prefix}.ln_1.bias"))
     attn_out, _ = F.multi_head_attention_forward(
@@ -352,13 +353,13 @@ def test_upt_mixer_matches_torch_oracle():
 
     sd, p = _mixer_to_torch_sd(params, dim)
     with torch.no_grad():
-        tc = torch.from_numpy(coop) @ torch.from_numpy(np.asarray(p["proj_coop_pre"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_coop_pre"]["bias"]))
-        tv = torch.from_numpy(vpt) @ torch.from_numpy(np.asarray(p["proj_vpt_pre"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_vpt_pre"]["bias"]))
+        tc = torch.from_numpy(coop) @ torch.tensor(np.asarray(p["proj_coop_pre"]["kernel"])) + torch.tensor(np.asarray(p["proj_coop_pre"]["bias"]))
+        tv = torch.from_numpy(vpt) @ torch.tensor(np.asarray(p["proj_vpt_pre"]["kernel"])) + torch.tensor(np.asarray(p["proj_vpt_pre"]["bias"]))
         # reference arrangement: sequence axis = [coop, vpt] modality slots,
         # batch axis = prompt positions (LND layout for the torch block)
         seq = torch.stack([tc, tv], dim=0)  # (2, L, dim)
         out = _torch_block(seq, sd, "mix", 1, None)  # heads=1
-        oc = out[0] @ torch.from_numpy(np.asarray(p["proj_coop_post"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_coop_post"]["bias"]))
-        ov = out[1] @ torch.from_numpy(np.asarray(p["proj_vpt_post"]["kernel"])) + torch.from_numpy(np.asarray(p["proj_vpt_post"]["bias"]))
+        oc = out[0] @ torch.tensor(np.asarray(p["proj_coop_post"]["kernel"])) + torch.tensor(np.asarray(p["proj_coop_post"]["bias"]))
+        ov = out[1] @ torch.tensor(np.asarray(p["proj_vpt_post"]["kernel"])) + torch.tensor(np.asarray(p["proj_vpt_post"]["bias"]))
     np.testing.assert_allclose(np.asarray(coop_o), oc.numpy(), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(vpt_o), ov.numpy(), rtol=2e-4, atol=2e-5)
