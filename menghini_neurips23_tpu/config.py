@@ -113,6 +113,7 @@ class Config:
     FUSED_BUCKETS: int = 2  # GRIP train-set shape ladder depth (1 = single full-pool bucket; 0 = exact per-iteration shapes); padding is masked, so this trades XLA compiles for padded-step compute
     TEXT_TRUNCATE: bool = True  # drop text-context positions after the last EOT (exact under causal attention; ~3x on the per-step text tower). False = always run all 77 positions like the reference
     PRECAST_WEIGHTS: bool = True  # bf16 compute only: cast transformer matmul weights to bf16 once at init instead of per jit apply (bit-identical; halves params-as-argument transfer + HBM weight bytes)
+    UPT_FP16_QUIRK: bool = False  # replicate the reference UPTModel's fp16 round-trip of the mixer output (prompts_models.py:141) for bit-closest reproduction; injects ~6e-4 relative noise and fp16 is emulated on TPU - leave off unless chasing exact trajectories
     MESH_SHAPE: str = ""  # e.g. "4,2" for a (data, model) mesh; "" = 1D data mesh
     ARTIFACT_DIR: str = "."  # root for trained_prompts/, pseudolabels/, ...
     ARTIFACT_FORMAT: str = "numpy"  # numpy | torch (reference-compatible layout)

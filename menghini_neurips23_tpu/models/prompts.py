@@ -176,6 +176,11 @@ class UPTMixer(nn.Module):
     dim: int = 128
     layers: int = 1
     heads: int = 1
+    # replicate the reference's fp16 round-trip of the mixer output
+    # (prompts_models.py:141, its own "TODO: Fix hacky type change") for
+    # bit-closest reproduction runs; off by default - the cast injects ~6e-4
+    # relative noise and fp16 is emulated (slow) on TPU
+    fp16_quirk: bool = False
 
     @nn.compact
     def __call__(self, coop: jnp.ndarray, vpt: jnp.ndarray):
@@ -188,6 +193,8 @@ class UPTMixer(nn.Module):
         seq = jnp.stack([coop_p, vpt_p], axis=1)  # (L, 2, dim)
         # The mixer runs in fp32: it is tiny (128-wide) and trainable.
         out = Transformer(self.dim, self.layers, self.heads, jnp.float32, name="transformer")(seq)
+        if self.fp16_quirk:
+            out = out.astype(jnp.float16).astype(jnp.float32)
         coop_o = nn.Dense(self.coop_dim, name="proj_coop_post", param_dtype=jnp.float32)(out[:, 0, :])
         vpt_o = nn.Dense(self.vpt_dim, name="proj_vpt_post", param_dtype=jnp.float32)(out[:, 1, :])
         return coop_o, vpt_o
@@ -227,7 +234,10 @@ def init_upt_params(rng: jax.Array, cfg, arch) -> dict:
     vpt = init_prefix(
         k2, cfg.VISION_PREFIX_SIZE, arch.vision_width, cfg.VIS_PREFIX_INIT, cfg.MEAN_INIT, cfg.VAR_INIT
     )
-    mixer = UPTMixer(arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM)
+    mixer = UPTMixer(
+        arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM,
+        fp16_quirk=getattr(cfg, "UPT_FP16_QUIRK", False),
+    )
     mixer_params = mixer.init(k3, coop, vpt)
     out = {"coop": coop, "vpt": vpt, "mixer": mixer_params}
     if getattr(cfg, "VPT_DEEP", False):

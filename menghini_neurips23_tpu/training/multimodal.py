@@ -36,7 +36,8 @@ class MultimodalStrategy(TrainingStrategy):
         self._reinit = getattr(self, "_reinit", -1) + 1
         key = jax.random.PRNGKey(cfg.OPTIM_SEED * 1000 + self._reinit)
         self.mixer = UPTMixer(
-            arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM
+            arch.transformer_width, arch.vision_width, cfg.TRANSFORMER_DIM,
+            fp16_quirk=getattr(cfg, "UPT_FP16_QUIRK", False),
         )
         self.upt_params = init_upt_params(key, cfg, arch)
         self._init_opt_state()

@@ -570,7 +570,8 @@ class _StubTransformer(torch.nn.Module):
         return x
 
 
-def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch):
+@pytest.mark.parametrize("fp16_quirk", [False, True])
+def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch, fp16_quirk):
     """UPT A/B: the reference's published UPTModel.forward (joint mixer over
     both prompt sets, reference prompts_models.py:129-154) + the multimodal
     _train_epoch body, with the trainable mixer seeded from OUR init.
@@ -600,7 +601,7 @@ def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch):
         VISION_PREFIX_SIZE=2, TRANSFORMER_DIM=16, LR=LR, DECAY=DECAY,
         EPOCHS=EPOCHS, WARMUP_EPOCHS=WARMUP, SCHEDULER="cosine",
         ACCUMULATION_ITER=ACCUM, PROMPT_TEMPLATE="a photo of a {}",
-        MODALITY="multi",
+        MODALITY="multi", UPT_FP16_QUIRK=fp16_quirk,
     )
     rt = ClipRuntime(cfg)
     arch, params = convert_state_dict(sd)
@@ -689,12 +690,17 @@ def test_reference_upt_trainer_matches_ours(ab_setup, monkeypatch):
             )
             losses_ours.append(l)
 
-    np.testing.assert_allclose(losses_ours, loss_log, rtol=5e-3, atol=5e-3)
+    # UPT_FP16_QUIRK=True replicates the published fp16 round-trip exactly,
+    # so the A/B tightens to the other modalities' fp32 tolerances; with the
+    # default fp32 mixer the fp16 cast bounds the gap instead
+    lt = (5e-4, 5e-4) if fp16_quirk else (5e-3, 5e-3)
+    pt = (2e-3, 5e-5) if fp16_quirk else (2e-2, 2e-4)
+    np.testing.assert_allclose(losses_ours, loss_log, rtol=lt[0], atol=lt[1])
     np.testing.assert_allclose(
-        np.asarray(strat.upt_params["coop"]), coop_ref, rtol=2e-2, atol=2e-4
+        np.asarray(strat.upt_params["coop"]), coop_ref, rtol=pt[0], atol=pt[1]
     )
     np.testing.assert_allclose(
-        np.asarray(strat.upt_params["vpt"]), vpt_ref, rtol=2e-2, atol=2e-4
+        np.asarray(strat.upt_params["vpt"]), vpt_ref, rtol=pt[0], atol=pt[1]
     )
 
 
