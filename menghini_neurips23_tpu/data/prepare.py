@@ -119,9 +119,17 @@ def get_class_names(dataset: str, dataset_dir: str, seed: int = 500):
     elif dataset in ("FGVCAircraft", "MNIST"):
         classes = _read_class_file(dataset, path, "labels.txt")
     elif dataset == "RESICS45":
-        with open(f"{path}/train.json", "r") as f:
-            data = json.load(f)
-        classes = [d["name"].replace("_", " ") for d in data["categories"]]
+        # Reference prepare_data.py:101-111 reads the category list from the
+        # COCO-style train.json; fall back to the bundled category list (same
+        # order, recovered from the reference's data_splits/RESICS45.json by
+        # inverting the seeded split) when the index file is absent.
+        index = f"{path}/train.json"
+        if os.path.exists(index):
+            with open(index, "r") as f:
+                data = json.load(f)
+            classes = [d["name"].replace("_", " ") for d in data["categories"]]
+        else:
+            classes = _read_class_file(dataset, path, "categories.txt")
     elif dataset == "CUB":
         seen_classes = [
             l.split(".")[-1].strip().replace("_", " ").lower()

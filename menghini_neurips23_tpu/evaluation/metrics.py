@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import scipy.stats as st
+
+logger = logging.getLogger(__name__)
 
 
 def evaluate_predictions(
@@ -23,6 +27,18 @@ def evaluate_predictions(
     df_test = pd.DataFrame({"id": list(test_labeled_files), "true": list(labels)})
     df_test["id"] = df_test["id"].apply(lambda x: x.split("/")[-1])
     df = pd.merge(df_predictions, df_test, on="id")
+    # The basename join is many-to-many when basenames collide across
+    # directories; the metric then averages over cross-joined rows rather
+    # than files.  Real ELEVATER filenames are unique, so this is a data
+    # problem worth surfacing, not silently absorbing.
+    if len(df) != len(df_predictions):
+        logger.warning(
+            "evaluate_predictions: basename join produced %d rows for %d "
+            "predictions (duplicate basenames across directories?); the "
+            "accuracy below averages over joined rows, not files",
+            len(df),
+            len(df_predictions),
+        )
 
     if config.LEARNING_PARADIGM in ("ul", "ssl"):
         accuracy = np.sum(df["class"] == df["true"]) / df.shape[0]

@@ -54,8 +54,13 @@ def rng():
 
 
 def make_mnist_fixture(root, n_per_class=6, classes=("0", "1", "2"), size=32):
-    """Synthetic MNIST-layout dataset: root/{train,test}/{class}/imgN.png with
-    ELEVATER-style index files, class-colored so a model can separate them."""
+    """Synthetic MNIST-layout dataset: root/{train,test}/{class}/{class}_imgN.png
+    with ELEVATER-style index files, class-colored so a model can separate them.
+
+    Basenames are globally UNIQUE ({class}_imgN.png, not imgN.png): the
+    evaluation merge joins predictions to truth on basename (reference
+    utils/compute_metrics.py:26-30), so colliding basenames cross-join and
+    pollute every workflow-level accuracy computed on this fixture."""
     from PIL import Image
 
     root.mkdir(parents=True, exist_ok=True)
@@ -67,7 +72,7 @@ def make_mnist_fixture(root, n_per_class=6, classes=("0", "1", "2"), size=32):
             d = root / split / c
             d.mkdir(parents=True, exist_ok=True)
             for i in range(n_per_class):
-                name = f"{c}/img{i}.png"
+                name = f"{c}/{c}_img{i}.png"
                 base = np.zeros((size, size, 3), np.uint8)
                 base[..., ci % 3] = 180 + (ci // 3) * 40
                 noise = rng.integers(0, 40, (size, size, 3)).astype(np.uint8)

@@ -19,7 +19,7 @@ def _big_datasets(mnist_fixture):
     files, labs = [], []
     for c in classes:
         for i in range(6):
-            files.append(f"train/{c}/img{i}.png")
+            files.append(f"train/{c}/{c}_img{i}.png")
             labs.append(c)
     train = DS(files[:16], str(root), train=True, labels=labs[:16], label_map=label_to_idx)
     val = DS(files[16:], str(root), train=True, labels=labs[16:], label_map=label_to_idx)

@@ -220,6 +220,6 @@ def test_reference_rank_multimodal_loads_into_strategy(tmp_path, tiny_runtime):
 
     root = pathlib.Path(tempfile.mkdtemp()) / "MNIST"
     make_mnist_fixture(root, n_per_class=2)
-    files = [str(root / "train" / c / "img0.png") for c in classes]
+    files = [str(root / "train" / c / f"{c}_img0.png") for c in classes]
     logits = strat._predict_logits(files, classes)
     assert logits.shape == (3, 3) and np.isfinite(logits).all()

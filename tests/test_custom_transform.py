@@ -51,7 +51,7 @@ def tr_data(tmp_path_factory):
     classes = ["0", "1", "2"]
     l2i = {c: i for i, c in enumerate(classes)}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(4)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(4)]
     return root, classes, l2i, DS, files
 
 

@@ -155,7 +155,7 @@ def _make_mnist_fixture(tmp_path, n_per_class=4):
             d = root / split / c
             d.mkdir(parents=True, exist_ok=True)
             for i in range(n_per_class):
-                name = f"{c}/img{i}.png"
+                name = f"{c}/{c}_img{i}.png"
                 Image.new("RGB", (28, 28), color=(int(c) * 40, 0, 0)).save(
                     root / split / name
                 )
@@ -322,7 +322,7 @@ def test_bundled_split_jsons_match_regeneration():
     split_dir = os.path.join(
         os.path.dirname(generate_split_json.__code__.co_filename), "data_splits"
     )
-    for ds in ("EuroSAT", "DTD", "Flowers102", "FGVCAircraft", "MNIST"):
+    for ds in ("EuroSAT", "DTD", "Flowers102", "FGVCAircraft", "MNIST", "RESICS45"):
         with open(os.path.join(split_dir, f"{ds}.json")) as f:
             bundled = json.load(f)
         assert generate_split_json(ds, "/nonexistent") == bundled, ds

@@ -17,7 +17,7 @@ def dc_data(tmp_path_factory):
     make_mnist_fixture(root, n_per_class=4)
     l2i = {c: i for i, c in enumerate(["0", "1", "2"])}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in ["0", "1", "2"] for i in range(4)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in ["0", "1", "2"] for i in range(4)]
     return DS(files, str(root), train=True, labels=None, label_map=l2i)
 
 

@@ -20,7 +20,7 @@ def memo_data(tmp_path_factory):
     classes = ["0", "1", "2"]
     l2i = {c: i for i, c in enumerate(classes)}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(4)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(4)]
     ds = DS(files, str(root), train=True, labels=None, label_map=l2i)
     return classes, l2i, ds
 

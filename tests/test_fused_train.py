@@ -212,7 +212,7 @@ def test_grip_single_compile_with_growing_pseudo_val(tmp_path, tiny_runtime, tmp
     classes = ["0", "1", "2"]
     l2i = {c: i for i, c in enumerate(classes)}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(25)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(25)]
     labs = [c for c in classes for _ in range(25)]
     few_f, few_l = sample_few_shots(files, labs, classes, 2, seed=0)
     rest = [f for f in files if f not in few_f]

@@ -25,7 +25,7 @@ def refresh_data(tmp_path_factory):
     classes = ["0", "1", "2"]
     l2i = {c: i for i, c in enumerate(classes)}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(8)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(8)]
     pool = DS(files, str(root), train=True, labels=None, label_map=l2i)
     return root, classes, l2i, pool
 

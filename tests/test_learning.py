@@ -20,7 +20,7 @@ def learn_data(tmp_path_factory):
     classes = ["0", "1", "2"]
     l2i = {c: i for i, c in enumerate(classes)}
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(10)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(10)]
     labs = [c for c in classes for i in range(10)]
     train = DS(files[:24], str(root), train=True, labels=labs[:24], label_map=l2i)
     val = DS(files[24:], str(root), train=True, labels=labs[24:], label_map=l2i)

@@ -32,7 +32,7 @@ def pred_env(tmp_path_factory, tiny_runtime):
         PROMPT_TEMPLATE="a photo of a {}",
     )
     DS = dataset_object("MNIST")
-    files = [f"train/{c}/img{i}.png" for c in classes for i in range(4)]
+    files = [f"train/{c}/{c}_img{i}.png" for c in classes for i in range(4)]
     labs = [c for c in classes for i in range(4)]
     train = DS(files[:9], str(root), train=True, labels=labs[:9], label_map=l2i)
     val = DS(files[9:], str(root), train=True, labels=labs[9:], label_map=l2i)
@@ -87,7 +87,7 @@ def test_predict_zero_shot_baseline(pred_env, monkeypatch):
     preds = predict.main(
         [
             "--model_config", str(yml), "--learning_paradigm", "ssl",
-            "--images", str(root / "test" / "0" / "img0.png"),
+            "--images", str(root / "test" / "0" / "0_img0.png"),
         ],
         env=env,
     )

@@ -46,7 +46,7 @@ def _datasets(mnist_fixture, classes_override=None):
     files, labs = [], []
     for c in classes:
         for i in range(6):
-            files.append(f"train/{c}/img{i}.png")
+            files.append(f"train/{c}/{c}_img{i}.png")
             labs.append(c)
     few_files, few_labs = sample_few_shots(files, labs, classes, 2, seed=0)
     rest = [(f, l) for f, l in zip(files, labs) if f not in few_files]
@@ -56,7 +56,7 @@ def _datasets(mnist_fixture, classes_override=None):
              labels=few_labs[len(few_labs) * 4 // 5 :], label_map=label_to_idx)
     unlabeled = DS([f for f, _ in rest], str(root), train=True, labels=None,
                    label_map=label_to_idx)
-    test_files = [f"test/{c}/img{i}.png" for c in classes for i in range(6)]
+    test_files = [f"test/{c}/{c}_img{i}.png" for c in classes for i in range(6)]
     test = DS(test_files, str(root), train=False, labels=None, label_map=label_to_idx)
     # MNIST dataset rule: filepaths are root/<f> (train=True only used by base)
     return classes, label_to_idx, train, val, unlabeled, test

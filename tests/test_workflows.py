@@ -137,3 +137,49 @@ def test_profile_dir_writes_trace(tmp_path):
     # a profile session directory with trace artifacts must exist
     produced = list(trace_dir.rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_fixture_basenames_unique_and_eval_merge_is_one_to_one(mnist_fixture):
+    """The synthetic fixture must have globally unique basenames: the
+    evaluation merge joins predictions to truth on basename (reference
+    utils/compute_metrics.py:26-30), so colliding basenames cross-join and
+    every workflow-level accuracy above would measure a polluted quantity."""
+    import pandas as pd
+
+    from menghini_neurips23_tpu.evaluation.metrics import evaluate_predictions
+
+    root, classes = mnist_fixture
+    test_files = [l.split()[0] for l in (root / "test.txt").read_text().splitlines()]
+    basenames = [f.split("/")[-1] for f in test_files]
+    assert len(set(basenames)) == len(basenames), "fixture basenames collide"
+
+    labels = [classes[int(l.split()[1])]
+              for l in (root / "test.txt").read_text().splitlines()]
+    # identity predictions -> the join must be exactly one row per test file
+    df_predictions = pd.DataFrame({"id": basenames, "class": labels})
+    cfg = Config(LEARNING_PARADIGM="ssl")
+    acc, _, _ = evaluate_predictions(cfg, df_predictions, test_files, labels, classes)
+    assert acc == 1.0
+    joined = pd.merge(
+        df_predictions,
+        pd.DataFrame({"id": basenames, "true": labels}),
+        on="id",
+    )
+    assert len(joined) == len(test_files)
+
+
+def test_eval_merge_warns_on_basename_collision(caplog):
+    """Colliding basenames cross-join; evaluate_predictions must surface it."""
+    import logging
+
+    import pandas as pd
+
+    from menghini_neurips23_tpu.evaluation.metrics import evaluate_predictions
+
+    files = ["a/img0.png", "b/img0.png"]
+    labels = ["cat", "dog"]
+    df_predictions = pd.DataFrame({"id": ["img0.png", "img0.png"], "class": labels})
+    cfg = Config(LEARNING_PARADIGM="ssl")
+    with caplog.at_level(logging.WARNING, "menghini_neurips23_tpu.evaluation.metrics"):
+        evaluate_predictions(cfg, df_predictions, files, labels, ["cat", "dog"])
+    assert any("basename join" in r.message for r in caplog.records)
