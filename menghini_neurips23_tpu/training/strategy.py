@@ -1044,9 +1044,10 @@ class TrainingStrategy:
         # fixed slot (its pseudo-val share grows with the schedule).
         max_bucket = pool_size + len(train_data.filepaths)
         n_buckets = int(getattr(cfg, "FUSED_BUCKETS", 2))
-        if not grow or n_buckets <= 0:
-            # IFPL's set size is ~constant across iterations: exact shapes
-            # compile once and waste nothing
+        if not grow or n_buckets <= 0 or not cfg.ALL_UNLABELED:
+            # IFPL's set size is ~constant across iterations (as is GRIP's
+            # with ALL_UNLABELED=False): exact shapes compile once and waste
+            # nothing
             self._fused_bucket_ladder = None
             self._fused_bucket = None
         else:
@@ -1091,8 +1092,12 @@ class TrainingStrategy:
 
         for niter in range(start_iter, num_iter + 1):
             if grow:
+                # ALL_UNLABELED=False freezes N_PSEUDOSHOTS at the
+                # iteration-1 value: the reference only grows it inside
+                # `if self.config.ALL_UNLABELED` (pseudo_iterative.py:113-125)
+                k = niter if cfg.ALL_UNLABELED else 1
                 cfg.N_PSEUDOSHOTS = self._grip_pseudoshots(
-                    niter, num_samples, n_unseen, pool_size
+                    k, num_samples, n_unseen, pool_size
                 )
             log.info("iteration %d/%d: N_PSEUDOSHOTS=%d", niter, num_iter, cfg.N_PSEUDOSHOTS)
             if niter == 1:

@@ -90,3 +90,43 @@ def test_refresh_permutation_ambiguous_basenames_return_none():
     pool2 = ["/d/0/a.png", "/d/1/b.png"]
     perm = TrainingStrategy._refresh_permutation(pool2, ["/v/x/b.png", "/v/x/a.png"])
     assert perm.tolist() == [1, 0]
+
+
+@pytest.mark.parametrize(
+    "all_unlabeled,expected",
+    [
+        (True, [2, 4]),   # quantile growth: N(k) = int(k*num_samples/n_unseen)
+        (False, [2, 2]),  # growth gated off: N frozen at the iteration-1 value
+    ],
+)
+def test_grip_all_unlabeled_gates_pseudoshot_growth(
+    tmp_path, mnist_fixture, tiny_runtime, all_unlabeled, expected
+):
+    """The reference grows N_PSEUDOSHOTS only inside `if config.ALL_UNLABELED`
+    (reference pseudo_iterative.py:113-125); with the flag False the schedule
+    must stay at the iteration-1 value for the whole GRIP run."""
+    from tests.test_training import _build_config, _datasets, _strategy
+
+    root, _ = mnist_fixture
+    cfg = _build_config(
+        tmp_path, MODEL="grip_textual", STEP_QUANTILE=50, EPOCHS=1,
+        N_PSEUDOSHOTS=7, ALL_UNLABELED=all_unlabeled,
+    )
+    classes, l2i, train, val, unlabeled, test = _datasets(mnist_fixture)
+    strat = TextualStrategy(
+        cfg, l2i, classes, classes, classes,
+        data_folder=str(root),
+        unlabeled_files=[f.split("/")[-1] for f in unlabeled.filepaths],
+        runtime=tiny_runtime,
+    )
+    seen_shots = []
+    orig_train = strat.train
+
+    def spy(*a, **k):
+        seen_shots.append(cfg.N_PSEUDOSHOTS)
+        return orig_train(*a, **k)
+
+    strat.train = spy
+    acc, params = strat.grip_train(train, val, unlabeled)
+    assert seen_shots == expected
+    assert 0.0 <= acc <= 1.0
