@@ -173,12 +173,11 @@ class TrainingStrategy:
         per pass - per-path caching would freeze one sample and, worse, LRU
         eviction would re-sample it mid-run, making features for one path
         inconsistent within a run."""
-        if self._active_transform is not None:
-            feats = self._encode_paths(list(paths))
-            return feats if len(paths) else np.empty((0,))
-        have = self._feat_cache.get_or_fill(paths, self._encode_paths, store=cache)
         if not paths:
             return np.empty((0,))
+        if self._active_transform is not None:
+            return self._encode_paths(list(paths))
+        have = self._feat_cache.get_or_fill(paths, self._encode_paths, store=cache)
         return np.stack([have[p] for p in paths])
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
@@ -478,6 +477,15 @@ class TrainingStrategy:
         lut = {self.label_to_idx[c]: i for i, c in enumerate(class_list)}
         labels = [lut[l] for l in raw_labels]
         groups = getattr(self, "_train_groups", [0] * len(paths))
+        # An ACTIVE user transform must be re-applied on every access (the
+        # reference runs self.transform per __getitem__ per epoch,
+        # data/dataset.py:64-79): materializing features here would freeze
+        # ONE stochastic sample per image for all EPOCHS, while the
+        # streaming path re-samples per epoch - train-time semantics would
+        # silently depend on FUSED_MAX_BYTES.  Stream instead (host loop;
+        # _features_for_paths bypasses the LRU under an active transform).
+        if self._active_transform is not None:
+            return EpochData(None, labels, groups, paths)
         # training sets too large to materialize stream per-batch features
         # through the bounded cache instead (host loop only)
         est = len(paths) * self._feature_item_nbytes()
@@ -562,12 +570,19 @@ class TrainingStrategy:
         elif not self._fused_val_ok(val):
             reason = "empty validation set (per-epoch metric drives best-val selection)"
         elif not self._fused_fits(epoch):
-            est = len(epoch) * self._feature_item_nbytes()
-            reason = (
-                f"training features (~{est/1e9:.1f} GB) exceed "
-                f"FUSED_MAX_BYTES/2 ({cfg.FUSED_MAX_BYTES/2e9:.1f} GB); "
-                "the host loop streams them per batch"
-            )
+            if self._active_transform is not None and epoch.features is None:
+                reason = (
+                    "an active dataset transform must be re-applied every "
+                    "epoch (reference data/dataset.py:64-79); the host loop "
+                    "re-encodes per batch"
+                )
+            else:
+                est = len(epoch) * self._feature_item_nbytes()
+                reason = (
+                    f"training features (~{est/1e9:.1f} GB) exceed "
+                    f"FUSED_MAX_BYTES/2 ({cfg.FUSED_MAX_BYTES/2e9:.1f} GB); "
+                    "the host loop streams them per batch"
+                )
         if reason is not None:
             log.warning(
                 "fused training unavailable (%s): falling back to the "

@@ -46,14 +46,33 @@ def _is_main_process() -> bool:
                 return int(val) == 0
             except ValueError:
                 continue
-    # generic RANK only counts when WORLD_SIZE says we're actually in a
-    # multi-process launch - a stale RANK=1 inherited from an unrelated
-    # torchrun/SLURM wrapper must not mute a single-process run's early logs
+    # generic RANK only counts alongside a sibling multi-process signal - a
+    # stale RANK=1 inherited from an unrelated torchrun/SLURM wrapper must
+    # not mute a single-process run's early logs.  Some mpirun/SLURM
+    # wrappers export RANK without WORLD_SIZE, so any of these counts:
+    multi = False
     try:
-        if int(os.environ.get("WORLD_SIZE", "1")) > 1:
-            return int(os.environ.get("RANK", "0")) == 0
+        multi = int(os.environ.get("WORLD_SIZE", "1")) > 1
     except ValueError:
         pass
+    # LOCAL_RANK is only ever set by a multi-process launcher (torchrun
+    # exports it on every rank, including 0); the task counts signal multi
+    # only when > 1
+    if not multi and os.environ.get("LOCAL_RANK", "") != "":
+        multi = True
+    if not multi:
+        for sibling in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+            try:
+                if int(os.environ.get(sibling, "1")) > 1:
+                    multi = True
+                    break
+            except ValueError:
+                continue
+    if multi:
+        try:
+            return int(os.environ.get("RANK", "0")) == 0
+        except ValueError:
+            pass
     return True
 
 

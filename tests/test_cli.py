@@ -113,6 +113,41 @@ def test_main_process_logging_never_touches_jax(monkeypatch):
     assert mlog._is_main_process()
 
 
+def test_rank_honored_with_sibling_multiprocess_signals(monkeypatch):
+    """Launchers that export RANK without WORLD_SIZE (some mpirun/SLURM
+    wrappers) must still be rank-gated when a sibling multi-process signal
+    is present; a bare stale RANK must NOT mute a single-process run."""
+    from menghini_neurips23_tpu.utils import logging as mlog
+
+    monkeypatch.setattr(mlog, "_RANK", None)
+    for var in ("JAX_PROCESS_ID", "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID",
+                "WORLD_SIZE", "RANK", "LOCAL_RANK", "SLURM_NTASKS",
+                "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(var, raising=False)
+
+    # stale RANK alone: treated as single-process (main)
+    monkeypatch.setenv("RANK", "1")
+    assert mlog._is_main_process()
+    # RANK + LOCAL_RANK (torchrun exports it on every rank incl. 0)
+    monkeypatch.setenv("LOCAL_RANK", "1")
+    assert not mlog._is_main_process()
+    monkeypatch.delenv("LOCAL_RANK")
+    # RANK + SLURM task count
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert not mlog._is_main_process()
+    monkeypatch.setenv("RANK", "0")
+    assert mlog._is_main_process()
+    monkeypatch.delenv("SLURM_NTASKS")
+    # RANK + OpenMPI world size
+    monkeypatch.setenv("RANK", "2")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+    assert not mlog._is_main_process()
+    # single-task SLURM does not count as multi-process
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert mlog._is_main_process()
+
+
 def test_operational_env_keys_reach_config():
     """REPRODUCE.md exports CLIP_CKPT/BPE_PATH (and PROFILE_DIR for traces);
     Config must pick them up from env like the reference's launcher vars —

@@ -191,3 +191,76 @@ def test_stochastic_transform_resamples_per_pass(tr_data, tiny_runtime):
     l1 = strat._predict_logits(ds.filepaths, classes)
     l2 = strat._predict_logits(ds.filepaths, classes)
     assert np.abs(l1 - l2).max() > 1e-5, "prompted memo served a stale sample"
+
+
+def test_training_streams_under_active_transform(tr_data, tiny_runtime):
+    """An active transform must force the streaming path for TRAINING, not
+    just inference: the materialized/fused path would encode once and freeze
+    ONE stochastic sample per image for all EPOCHS while the streaming path
+    re-samples per epoch - training semantics would silently depend on
+    FUSED_MAX_BYTES (round-4 advisor fix).  The reference re-applies
+    self.transform per __getitem__ per epoch (data/dataset.py:64-79)."""
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1, EPOCHS=2,
+        BATCH_SIZE=8, LR=0.01, PROMPT_TEMPLATE="a photo of a {}",
+        DATASET_NAME="MNIST", LEARNING_PARADIGM="ssl",
+    )
+    strat = TextualStrategy(cfg, l2i, classes, classes, classes,
+                            runtime=tiny_runtime)
+    labs = [f.split("/")[1] for f in files]
+    tr = stochastic_transform(R)
+    ds = DS(files, str(root), train=True, labels=labs, label_map=l2i,
+            transform=tr)
+    strat._note_transform(ds)
+    epoch = strat._prepare_epoch_data(ds, classes, only_seen=False)
+    assert epoch.features is None, "active transform must not be materialized"
+    # the fused whole-run program cannot run on streaming data
+    assert not strat._fused_fits(epoch)
+
+    # end to end: train() completes through the streaming host loop, and the
+    # two passes over the same batch really re-sample the transform
+    seen_feats = []
+    orig = strat._features_for_paths
+
+    def spy(paths, cache=True):
+        out = orig(paths, cache=cache)
+        seen_feats.append(np.asarray(out))
+        return out
+
+    strat._note_transform(ds)
+    strat._features_for_paths = spy
+    val = DS(files[:3], str(root), train=True, labels=labs[:3], label_map=l2i,
+             transform=tr)
+    acc, params = strat.train(ds, val, only_seen=False)
+    assert 0.0 <= acc <= 1.0
+    train_feats = [f for f in seen_feats if f.shape[0] == cfg.BATCH_SIZE]
+    assert len(train_feats) >= 2
+    # epoch 1 and epoch 2 fetch the same rows; a frozen cache would make
+    # them identical
+    assert np.abs(train_feats[0] - train_feats[-1]).max() > 1e-4
+
+
+def test_empty_paths_do_not_invoke_encoder(tr_data, tiny_runtime):
+    """_features_for_paths([]) must return empty without calling the encoder
+    (round-4 advisor fix: the active-transform branch used to encode first)."""
+    root, classes, l2i, DS, files = tr_data
+    R = tiny_runtime.arch.image_resolution
+    cfg = Config(
+        VIS_ENCODER="tiny-test", PREFIX_SIZE=4, OPTIM_SEED=1,
+        PROMPT_TEMPLATE="a photo of a {}", DATASET_NAME="MNIST",
+        LEARNING_PARADIGM="ssl",
+    )
+    strat = TextualStrategy(cfg, l2i, classes, classes, classes,
+                            runtime=tiny_runtime)
+    ds = DS(files[:2], str(root), train=True, labels=None, label_map=l2i,
+            transform=stochastic_transform(R))
+    strat._note_transform(ds)
+
+    def boom(paths):
+        raise AssertionError("encoder invoked for empty path list")
+
+    strat._encode_paths = boom
+    out = strat._features_for_paths([])
+    assert out.shape == (0,)
