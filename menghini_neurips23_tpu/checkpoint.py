@@ -140,3 +140,81 @@ def clear_run_checkpoints(config):
     base = _ckpt_dir(config)
     if os.path.isdir(base):
         shutil.rmtree(base)
+
+
+# --------------------------------------------------------------- chunk states
+# Fused training runs as FUSED_EPOCH_CHUNK-epoch programs chained by the
+# optimizer carry (strategy._fused_chunked_call).  The carry already crosses
+# the host at every boundary, so persisting it there makes a kill cost at
+# most one chunk (<=FUSED_EPOCH_CHUNK epochs) instead of a whole IFPL/GRIP
+# iteration, with bit-identical resume: the state is keyed by a fingerprint
+# of everything that determines the computation (permutation schedule, lr
+# schedule, initial carry), so a resumed run - whose restored RNG stream and
+# prompt re-init counter reproduce those inputs exactly - picks up the saved
+# carry, while any divergent run misses the key and recomputes.
+
+def chunk_fingerprint(perms, lrs, epochs: int, chunk: int, carry0_np) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(perms).tobytes())
+    h.update(np.ascontiguousarray(lrs).tobytes())
+    h.update(f"{epochs}/{chunk}".encode())
+    for leaf in jax.tree.leaves(carry0_np):
+        arr = np.asarray(leaf)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:32]
+
+
+def _chunk_path(config, fingerprint: str) -> str:
+    return os.path.join(_ckpt_dir(config), f"chunk_{fingerprint}.pkl")
+
+
+def save_chunk_state(config, fingerprint: str, next_start: int, carry_np, outs_list):
+    """Persist the post-chunk optimizer carry + per-epoch outputs so far.
+    Rank 0 writes (atomic tmp+rename); no collective is involved - every
+    rank holds the replicated carry locally."""
+    if jax.process_index() != 0:
+        return None
+    import pickle
+
+    path = _chunk_path(config, fingerprint)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(
+            {
+                "next_start": int(next_start),
+                "carry": jax.tree.map(np.asarray, carry_np),
+                "outs_list": outs_list,
+            },
+            f,
+            protocol=4,
+        )
+    os.replace(tmp, path)
+    log.info("checkpointed fused chunk (next epoch %d) -> %s", next_start, path)
+    return path
+
+
+def load_chunk_state(config, fingerprint: str) -> Optional[dict]:
+    path = _chunk_path(config, fingerprint)
+    if not os.path.exists(path):
+        return None
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception as e:  # truncated/corrupt: recompute from scratch
+        log.warning("could not restore chunk state %s: %s", path, e)
+        return None
+
+
+def clear_chunk_state(config, fingerprint: str):
+    if jax.process_index() != 0:
+        return
+    path = _chunk_path(config, fingerprint)
+    if os.path.exists(path):
+        os.remove(path)

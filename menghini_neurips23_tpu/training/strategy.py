@@ -853,10 +853,21 @@ class TrainingStrategy:
         permutations, which are gated no-ops, and are trimmed from the
         outputs).
 
+        With CHECKPOINT_ITER set, the (prompt, momentum, gacc) carry and the
+        per-epoch outputs so far are persisted at every chunk boundary (the
+        carry already crosses the host there), so a kill costs at most one
+        chunk instead of a whole IFPL/GRIP iteration.  The state is keyed by
+        a fingerprint of (perms, lrs, epochs, chunk, initial carry): a
+        resumed run whose restored RNG stream and prompt re-init counter
+        reproduce those inputs bit-exactly picks up the saved carry; any
+        divergent run misses the key and recomputes (resume is therefore
+        bit-identical by construction - tests/test_checkpoint.py).
+
         :param call: (perms_chunk, lrs_chunk, *carry) ->
             (per-epoch outputs pytree, *new_carry)
         """
-        chunk = self.config.FUSED_EPOCH_CHUNK
+        cfg = self.config
+        chunk = cfg.FUSED_EPOCH_CHUNK
         if chunk <= 0 or chunk >= epochs:
             outs, *_ = call(perms, lrs, *carry0)
             return jax.tree.map(np.asarray, outs)
@@ -868,9 +879,72 @@ class TrainingStrategy:
             lrs = np.concatenate([lrs, np.zeros(pad, lrs.dtype)])
         carry = tuple(carry0)
         outs_list = []
-        for s in range(0, epochs + pad, chunk):
+        start = 0
+        fp = None
+        if cfg.CHECKPOINT_ITER:
+            from menghini_neurips23_tpu.checkpoint import (
+                chunk_fingerprint,
+                clear_chunk_state,
+                load_chunk_state,
+                save_chunk_state,
+            )
+
+            fp = chunk_fingerprint(
+                perms, lrs, epochs, chunk, jax.tree.map(np.asarray, carry0)
+            )
+            if cfg.RESUME:
+                state = load_chunk_state(cfg, fp)
+                if jax.process_count() > 1:
+                    # all ranks must agree on the resume point (rank 0 wins);
+                    # a rank that cannot see the file cannot restore the
+                    # carry, so a non-shared checkpoint dir is fatal, not a
+                    # silent divergence of the process group
+                    from jax.experimental import multihost_utils
+
+                    agreed = int(
+                        multihost_utils.broadcast_one_to_all(
+                            np.asarray(
+                                state["next_start"] if state else -1, np.int32
+                            )
+                        )
+                    )
+                    if agreed >= 0 and state is None:
+                        raise RuntimeError(
+                            "rank 0 has a fused-chunk checkpoint but this "
+                            "rank cannot read it; the checkpoint directory "
+                            "must be on a shared filesystem"
+                        )
+                    if agreed < 0:
+                        state = None
+                if state is not None:
+                    start = state["next_start"]
+                    outs_list = list(state["outs_list"])
+                    carry = tuple(
+                        self.runtime.put_rep(c) for c in state["carry"]
+                    )
+                    log.info(
+                        "resuming fused training at epoch %d/%d from chunk "
+                        "checkpoint", start, epochs,
+                    )
+        import os as _os
+
+        fail_after = int(_os.environ.get("MNT_FAIL_AFTER_CHUNK", "0") or 0)
+        for ci, s in enumerate(range(start, epochs + pad, chunk), 1):
             outs, *carry = call(perms[s : s + chunk], lrs[s : s + chunk], *carry)
             outs_list.append(jax.tree.map(np.asarray, outs))
+            if fp is not None and s + chunk < epochs + pad:
+                save_chunk_state(
+                    cfg, fp, s + chunk,
+                    [jax.tree.map(np.asarray, c) for c in carry], outs_list,
+                )
+            # fault injection (SURVEY.md §5.3): kill at an exact chunk
+            # boundary to exercise mid-iteration resume
+            if fail_after and ci == fail_after:
+                raise RuntimeError(
+                    f"fault injection: MNT_FAIL_AFTER_CHUNK={fail_after}"
+                )
+        if fp is not None:
+            clear_chunk_state(cfg, fp)
         return jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=0)[:epochs], *outs_list
         )
