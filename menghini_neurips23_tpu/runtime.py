@@ -63,6 +63,9 @@ class ClipRuntime:
         # weights alone cost it ~25% (91-106 s vs 74 s per 150-epoch run,
         # benchmarks/bisect_upt.py), while CoOp/VPT/encode are neutral-to-
         # faster.  Same cliff class as TEXT_TRUNCATE there (multimodal.py).
+        # Compiled-HLO structure of both tips is recorded in
+        # benchmarks/upt_cliff_fingerprint.json (fingerprint_upt_cliff.py;
+        # pinned by tests/test_upt_cliff_fingerprint.py).
         precast = (
             dtype == jnp.bfloat16
             and getattr(cfg, "PRECAST_WEIGHTS", True)

@@ -94,7 +94,10 @@ class MultimodalStrategy(TrainingStrategy):
         # saves nothing, and on v5e the truncated-T fused UPT program lands on
         # a measured layout cliff - ~25% slower per 150-epoch run (105.9 s vs
         # 73.6 s, benchmarks/bisect_upt.py).  Exactness is unaffected either
-        # way (causal attention; positions past EOT are dead).
+        # way (causal attention; positions past EOT are dead).  Structurally:
+        # T=16 under-fills the (8,128) tile's lane dim, the attention matmul
+        # layouts flip minor dims, and the compiler adds +25% copies
+        # (benchmarks/upt_cliff_fingerprint.json, fingerprint_upt_cliff.py).
         return build_prompt_token_ids(
             self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
         )
