@@ -26,16 +26,27 @@ def initialize_distributed(
     """Initialize the JAX process group (no-op on a single host)."""
     if num_processes is None or num_processes <= 1:
         return
+    import os
+
     from menghini_neurips23_tpu.utils.logging import set_process_rank
 
     if process_id is not None:
         # known before init: set it now so records logged DURING
         # jax.distributed.initialize are already rank-0-filtered
         set_process_rank(process_id)
+    # Ranks reach the coordination-service SHUTDOWN barrier as they finish;
+    # on oversubscribed hosts (N ranks time-slicing few cores - e.g. the
+    # 8-rank CPU test matrix on one core) end-of-run skew can exceed jax's
+    # 300 s default, killing an otherwise-complete run at exit.  Overridable
+    # for genuinely slow fleets.
+    shutdown_s = int(os.environ.get("MNT_SHUTDOWN_TIMEOUT", "1200") or 1200)
+    heartbeat_s = int(os.environ.get("MNT_HEARTBEAT_TIMEOUT", "300") or 300)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        heartbeat_timeout_seconds=heartbeat_s,
+        shutdown_timeout_seconds=shutdown_s,
     )
     set_process_rank(jax.process_index())
     log.info(
