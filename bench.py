@@ -186,13 +186,75 @@ def main():
         t1 = time.perf_counter()
         prefix, last_loss = tune_phase(params, prefix0, feats, labels, seed)
         np.asarray(prefix)  # force execution + fetch of the trained prompt
-        return t1 - t0, time.perf_counter() - t1
+        return (t1 - t0, time.perf_counter() - t1), feats
 
-    run(0)  # warmup: compile both phases
-    times = [run(s) for s in (1, 2, 3)]
+    # ---------------------------------------------------------------- phase 3
+    # PRODUCTION trainer on the same workload: the real TextualStrategy fused
+    # train path (strategy._fused_train -> _build_fused_train -> chunked
+    # call), fed the pool features through the strategy's own feature cache.
+    # This is the path every CLI run takes, so a framework train-path
+    # regression moves this number - and the headline below (VERDICT r3 #4).
+    def make_production_trainer(feats_np):
+        from menghini_neurips23_tpu.config import Config
+        from menghini_neurips23_tpu.training import TextualStrategy
+
+        class _FeatDataset:
+            """Duck-typed dataset: paths resolve through the prefilled
+            feature cache, so no disk or decode is involved (the encode
+            phase above already measured that work)."""
+
+            label_id = True
+            transform = None
+            label_map = None
+
+            def __init__(self, fpaths, flabels):
+                self.filepaths = list(fpaths)
+                self.labels = list(flabels)
+
+            def label_ids(self):
+                return [int(l) for l in self.labels]
+
+        cfg = Config(
+            VIS_ENCODER="ViT-B/32", MODALITY="text", LEARNING_PARADIGM="ssl",
+            DATASET_NAME="bench", MODEL="textual_prompt",
+            PROMPT_TEMPLATE="a photo of a {}", BATCH_SIZE=STEP_BATCH,
+            EPOCHS=EPOCHS, LR=0.01, DECAY=0.1, PREFIX_SIZE=PREFIX_LEN,
+            OPTIM_SEED=0, N_LABEL=2, SPLIT_SEED=500,
+        )
+        classes_map = {c: i for i, c in enumerate(classes)}
+        strat = TextualStrategy(cfg, classes_map, classes, classes, classes)
+        labels_np = np.asarray(labels)
+        val_n = STEP_BATCH
+        train_ds = _FeatDataset(paths[:TRAIN_N], labels_np[:TRAIN_N])
+        val_ds = _FeatDataset(
+            paths[TRAIN_N : TRAIN_N + val_n],
+            rng.integers(0, N_CLASSES, val_n).astype(np.int32),
+        )
+        for p, row in zip(paths[: TRAIN_N + val_n], feats_np):
+            strat._feat_cache.put(p, np.ascontiguousarray(row))
+
+        def production_tune():
+            t0 = time.perf_counter()
+            # only_seen=True is the SSL CLI's call shape (runners/common.py);
+            # seen == all 10 classes here so the class list is unchanged
+            acc, params_out = strat.train(train_ds, val_ds, only_seen=True)
+            np.asarray(params_out[0])  # host readback forces execution
+            return time.perf_counter() - t0
+
+        return production_tune
+
+    (t0_enc, _), feats_w = run(0)  # warmup: compile encode+tune phases
+    production_tune = make_production_trainer(
+        np.asarray(feats_w[: TRAIN_N + STEP_BATCH], np.float32)
+    )
+    production_tune()  # warmup: compile the production fused-train program
+    times = []
+    for s in (1, 2, 3):
+        times.append(run(s)[0] + (production_tune(),))
     t_encode = float(np.median([t[0] for t in times]))
     t_tune = float(np.median([t[1] for t in times]))
-    total_time = t_encode + t_tune
+    t_prod = float(np.median([t[2] for t in times]))
+    total_time = t_encode + t_prod
     images_processed = POOL_N + EPOCHS * TRAIN_N
     value = images_processed / total_time
 
@@ -213,15 +275,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip (prompt-tune step + pseudolabel-gen pass, ViT-B/32)",
+                "metric": "images/sec/chip (PRODUCTION prompt-tune step + pseudolabel-gen pass, ViT-B/32)",
                 "value": round(value, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / A100_REFERENCE_EST_IMGS_PER_SEC, 2),
                 "encode_img_per_s": round(POOL_N / t_encode, 1),
                 "encode_mfu_pct": round(100 * enc_mfu, 1),
-                "train_imgstep_per_s": round(EPOCHS * TRAIN_N / t_tune, 1),
+                "train_imgstep_per_s_production": round(EPOCHS * TRAIN_N / t_prod, 1),
+                "train_imgstep_per_s_roofline": round(EPOCHS * TRAIN_N / t_tune, 1),
+                "train_roofline_gap_pct": round(100 * (t_prod - t_tune) / t_tune, 1),
                 "train_text_tower_mfu_pct": round(100 * tune_mfu, 1),
-                "note": "vs_baseline divides by an ESTIMATED 1000 img/s A100 reference (it publishes no throughput)",
+                "note": "headline times the PRODUCTION TextualStrategy fused train (a framework train-path regression moves this number); roofline = the inline minimal scan (no per-epoch validation, no host->device traffic); the gap at EPOCHS=10 is itemized in benchmarks/README.md and amortizes ~15x at the production 150-epoch shape; vs_baseline divides by an ESTIMATED 1000 img/s A100 reference (it publishes no throughput)",
             }
         )
     )

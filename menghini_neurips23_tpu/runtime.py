@@ -128,9 +128,13 @@ class ClipRuntime:
         return CachingImageLoader(inner, self._decode_cache)
 
     def put_rep(self, tree):
-        """Host pytree -> jit-ready arrays (mesh-replicated when multi-host)."""
+        """Host pytree -> jit-ready arrays (mesh-replicated when multi-host).
+
+        One device_put per CALL, not per leaf: leaves copy in parallel, so
+        batching a whole input bundle into a single put pays one dispatch
+        roundtrip on high-latency device links instead of one per array."""
         if self._pc == 1:
-            return jax.tree.map(jnp.asarray, tree)
+            return jax.device_put(tree)
         from menghini_neurips23_tpu.parallel import replicate_tree
 
         return replicate_tree(self.mesh, tree)
