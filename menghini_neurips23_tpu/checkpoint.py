@@ -186,6 +186,9 @@ def save_chunk_state(config, fingerprint: str, next_start: int, carry_np, outs_l
     with open(tmp, "wb") as f:
         pickle.dump(
             {
+                # fmt 2: carry = (prompt, mom, gacc, best_metric,
+                # best_prompt); outs_list = per-chunk (3, chunk) stats
+                "fmt": 2,
                 "next_start": int(next_start),
                 "carry": jax.tree.map(np.asarray, carry_np),
                 "outs_list": outs_list,
@@ -206,10 +209,14 @@ def load_chunk_state(config, fingerprint: str) -> Optional[dict]:
 
     try:
         with open(path, "rb") as f:
-            return pickle.load(f)
+            state = pickle.load(f)
     except Exception as e:  # truncated/corrupt: recompute from scratch
         log.warning("could not restore chunk state %s: %s", path, e)
         return None
+    if state.get("fmt") != 2:  # pre-fmt-2 layout: recompute the iteration
+        log.warning("ignoring chunk state %s with old format", path)
+        return None
+    return state
 
 
 def clear_chunk_state(config, fingerprint: str):

@@ -669,21 +669,24 @@ class TrainingStrategy:
             )
             self._fused_cache[key] = fn
 
-        def call(perms_c, lrs_c, prompt, mom, gacc):
+        def call(perms_c, lrs_c, n_valid, prompt, mom, gacc, bm, bp):
             perms_d, lrs_d = put((np.asarray(perms_c), np.asarray(lrs_c)))
             return fn(
                 self.runtime.params, prompt, ctx_train, ctx_val,
                 feats_d, labels_d, groups_d,
-                perms_d, lrs_d, apply_flags, *vals,
+                perms_d, lrs_d, np.int32(n_valid), apply_flags, *vals,
                 np.float32(self._w0), np.float32(self._w1),
-                np.float32(inp["n"]), mom, gacc,
+                np.float32(inp["n"]), mom, gacc, bm, bp,
             )
 
         zeros = jax.tree.map(jnp.zeros_like, prompt0)  # inherits prompt0 sharding
-        metrics, prompts, train_accs, losses = self._fused_chunked_call(
-            call, (prompt0, zeros, zeros), inp["perms"], inp["lrs"], cfg.EPOCHS,
+        # best-so-far carry: -inf metric + the initial prompt (any real
+        # epoch's metric strictly beats -inf, so bp0 is never returned)
+        stats, best_np, final_np = self._fused_chunked_call(
+            call, (prompt0, zeros, zeros, np.float32(-np.inf), prompt0),
+            inp["perms"], inp["lrs"], cfg.EPOCHS,
         )
-        metrics = np.asarray(metrics)
+        metrics, train_accs, losses = np.asarray(stats)
         best = int(np.argmax(metrics))
         # the model keeps FINAL-epoch weights while the returned/saved params
         # are the best-val snapshot - matching the reference, whose strategy
@@ -692,17 +695,15 @@ class TrainingStrategy:
         # Both snapshots are already host arrays (the chunked call fetched
         # them): build best_params from the HOST tree - epoch_parameters is
         # np.asarray-based in every modality, so no device re-fetch roundtrip
-        self._set_prompt_tree(jax.tree.map(lambda x: np.asarray(x)[best], prompts))
+        self._set_prompt_tree(best_np)
         best_params = self.epoch_parameters()
-        self._set_prompt_tree(
-            put(jax.tree.map(lambda x: np.asarray(x)[-1], prompts))
-        )
+        self._set_prompt_tree(put(final_np))
         self._init_opt_state()
         log.info(
             "fused train: %d epochs, best epoch %d val=%.4f "
             "(final train_acc=%.4f loss=%.4f)",
             cfg.EPOCHS, best, metrics[best],
-            float(np.asarray(train_accs)[-1]), float(np.asarray(losses)[-1]),
+            float(train_accs[-1]), float(losses[-1]),
         )
         return float(metrics[best]), best_params
 
@@ -722,11 +723,12 @@ class TrainingStrategy:
 
         @jax.jit
         def fused(clip_params, prompt0, ctx_train, ctx_val, feats, labels,
-                  groups, perms, lrs, apply_flags, val_feats, val_labels,
-                  val_global, val_is_seen, w0, w1, n_real, mom0, gacc0):
+                  groups, perms, lrs, n_valid, apply_flags, val_feats,
+                  val_labels, val_global, val_is_seen, w0, w1, n_real,
+                  mom0, gacc0, bm0, bp0):
             def epoch_fn(carry, xs):
-                prompt, mom, gacc = carry
-                perm, lr = xs
+                prompt, mom, gacc, bm, bp = carry
+                perm, lr, ei = xs
                 idx = jnp.clip(perm, 0, n_slot - 1)
                 fb = feats[idx].reshape((steps, bs) + feats.shape[1:])
                 lb = jnp.where(perm >= 0, labels[idx], -1).reshape(steps, bs)
@@ -785,12 +787,32 @@ class TrainingStrategy:
                 else:
                     metric = masked_mean(correct_v, val_valid)
                 train_acc = corrects.sum() / n_real
-                return (prompt, mom, gacc), (metric, prompt, train_acc, losses[-1])
+                # Best-epoch selection ON DEVICE, streamed through the scan
+                # carry: only (per-epoch stats, one best prompt) ever cross
+                # the host, instead of the whole per-epoch prompt stack (UPT
+                # at FUSED_EPOCH_CHUNK=50 stacked ~100 MB per chunk into HBM,
+                # the host, and every chunk checkpoint).  Strictly-greater
+                # keeps the FIRST maximum - exactly np.argmax's tie-breaking
+                # on the host - and the carry crosses chunk boundaries, so
+                # chunked and single-program runs select identically.  Pad
+                # epochs (ei >= n_valid: all-pad perms, prompt unchanged)
+                # never take.
+                take = (metric > bm) & (ei < n_valid)
+                bm = jnp.where(take, metric, bm)
+                bp = jax.tree.map(
+                    lambda b, p: jnp.where(take, p, b), bp, prompt
+                )
+                return (
+                    (prompt, mom, gacc, bm, bp),
+                    (metric, train_acc, losses[-1]),
+                )
 
-            (pf, mf, gf), outs = jax.lax.scan(
-                epoch_fn, (prompt0, mom0, gacc0), (perms, lrs)
+            (pf, mf, gf, bm, bp), (metrics, taccs, losses) = jax.lax.scan(
+                epoch_fn, (prompt0, mom0, gacc0, bm0, bp0),
+                (perms, lrs, jnp.arange(perms.shape[0])),
             )
-            return outs, pf, mf, gf
+            stats = jnp.stack([metrics, taccs, losses])
+            return stats, pf, mf, gf, bm, bp
 
         return fused
 
@@ -933,27 +955,30 @@ class TrainingStrategy:
         permutations, which are gated no-ops, and are trimmed from the
         outputs).
 
-        With CHECKPOINT_ITER set, the (prompt, momentum, gacc) carry and the
-        per-epoch outputs so far are persisted at every chunk boundary (the
-        carry already crosses the host there), so a kill costs at most one
-        chunk instead of a whole IFPL/GRIP iteration.  The state is keyed by
-        a fingerprint of (perms, lrs, epochs, chunk, initial carry): a
-        resumed run whose restored RNG stream and prompt re-init counter
-        reproduce those inputs bit-exactly picks up the saved carry; any
-        divergent run misses the key and recomputes (resume is therefore
+        With CHECKPOINT_ITER set, the (prompt, momentum, gacc, best-so-far)
+        carry and the per-epoch stats so far are persisted at every chunk
+        boundary (the carry already crosses the host there), so a kill costs
+        at most one chunk instead of a whole IFPL/GRIP iteration.  The state
+        is keyed by a fingerprint of (perms, lrs, epochs, chunk, initial
+        carry): a resumed run whose restored RNG stream and prompt re-init
+        counter reproduce those inputs bit-exactly picks up the saved carry;
+        any divergent run misses the key and recomputes (resume is therefore
         bit-identical by construction - tests/test_checkpoint.py).
 
-        :param call: (perms_chunk, lrs_chunk, *carry) ->
-            (per-epoch outputs pytree, *new_carry)
+        :param call: (perms_chunk, lrs_chunk, n_valid, *carry) ->
+            (stats (3, chunk), *new_carry) with new_carry =
+            (prompt, mom, gacc, best_metric, best_prompt)
+        :returns: (stats np (3, epochs), best-prompt host tree,
+            final-prompt host tree)
         """
         cfg = self.config
         chunk = cfg.FUSED_EPOCH_CHUNK
         if chunk <= 0 or chunk >= epochs:
-            outs, *_ = call(perms, lrs, *carry0)
+            stats, pf, _mf, _gf, _bm, bp = call(perms, lrs, epochs, *carry0)
             # device_get copies all leaves in parallel: ONE latency hit for
             # the whole output tree instead of one per leaf (high-latency
             # links pay a full roundtrip per synchronous np.asarray)
-            return jax.device_get(outs)
+            return jax.device_get((stats, bp, pf))
         pad = (-epochs) % chunk
         if pad:
             perms = np.concatenate(
@@ -1013,8 +1038,11 @@ class TrainingStrategy:
 
         fail_after = int(_os.environ.get("MNT_FAIL_AFTER_CHUNK", "0") or 0)
         for ci, s in enumerate(range(start, epochs + pad, chunk), 1):
-            outs, *carry = call(perms[s : s + chunk], lrs[s : s + chunk], *carry)
-            outs_list.append(jax.device_get(outs))  # parallel leaf copies
+            n_valid = max(0, min(chunk, epochs - s))
+            stats, *carry = call(
+                perms[s : s + chunk], lrs[s : s + chunk], n_valid, *carry
+            )
+            outs_list.append(jax.device_get(stats))  # parallel leaf copies
             if fp is not None and s + chunk < epochs + pad:
                 save_chunk_state(
                     cfg, fp, s + chunk, list(jax.device_get(carry)), outs_list,
@@ -1027,9 +1055,12 @@ class TrainingStrategy:
                 )
         if fp is not None:
             clear_chunk_state(cfg, fp)
-        return jax.tree.map(
-            lambda *xs: np.concatenate(xs, axis=0)[:epochs], *outs_list
-        )
+        # carry = (prompt, mom, gacc, best_metric, best_prompt) after the
+        # last chunk; the best-so-far streamed through every chunk, so one
+        # fetch returns the run's global best and final prompts
+        best_np, final_np = jax.device_get((carry[4], carry[0]))
+        stats = np.concatenate(outs_list, axis=1)[:, :epochs]
+        return stats, best_np, final_np
 
     # ------------------------------------------------------------ validation
     def _run_validation(self, val) -> float:
