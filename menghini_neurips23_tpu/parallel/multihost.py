@@ -54,6 +54,26 @@ def initialize_distributed(
         jax.process_index(), jax.process_count(),
         jax.local_device_count(), jax.device_count(),
     )
+    _establish_collectives()
+
+
+def _establish_collectives() -> None:
+    """Open the full-mesh cross-host communicator NOW, while every rank is
+    still aligned from the coordinator handshake it just left.
+
+    XLA's CPU gloo rendezvous has a hardcoded 30 s key-value deadline
+    ("GetKeyValue() timed out with key: cpu:gloo/...").  If the run's FIRST
+    cross-host collective sits behind a long, rank-skewed compile (N ranks
+    time-slicing an oversubscribed host), ranks can reach the rendezvous
+    more than 30 s apart and the whole group aborts.  One tiny allgather
+    here - sub-second compile, microseconds after jax.distributed.initialize
+    released all ranks together - establishes the all-devices communicator
+    once; XLA caches it per clique, so every later (arbitrarily skewed)
+    program reuses it instead of re-rendezvousing."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mnt:establish-collectives")
+    log.info("full-mesh collective context established")
 
 
 def initialize_from_env(env=None) -> bool:
