@@ -34,6 +34,11 @@ _ENV_KEYS = {
     "BPE_PATH": str,
     "PROFILE_DIR": str,
     "COMPILE_CACHE_DIR": str,
+    # artifact root (trained_prompts/, pseudolabels/, evaluation/, results
+    # JSONL): the launcher scripts run from the repo root (the reference's
+    # protocol), so deployments with a read-only checkout redirect artifact
+    # writes here
+    "ARTIFACT_DIR": str,
 }
 
 

@@ -1,0 +1,87 @@
+"""L7 launcher scripts end to end (reference scripts/run_prompts_ssl.sh:9-23).
+
+Every other layer is exercised in-process; these tests run the actual bash
+launchers in a subprocess with the reference's env protocol (OPTIM_SEED,
+VIS_ENCODER, DATASET_NAME, DATASET_DIR, MODEL, SPLIT_SEED) against the
+verbatim bundled method config (configs/textual_prompt_config.yml, all 150
+epochs - the fused scan makes epoch count nearly free on CPU too), so the
+chain bash -> run_main_ssl.py shim -> driver -> artifacts is validated
+exactly as a user would invoke it.
+
+The subprocess must NOT inherit the axon TPU tunnel: sitecustomize (on
+PYTHONPATH) force-sets JAX_PLATFORMS=axon at interpreter start, so the env
+strips /root/.axon_site from PYTHONPATH and pins JAX_PLATFORMS=cpu.
+"""
+
+import json
+import os
+import subprocess
+from pathlib import Path
+
+from tests.conftest import make_mnist_fixture
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _launcher_env(tmp_path):
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
+    }
+    pypath = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + pypath)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_tpu_test_jax_cache")
+    env.update(
+        OPTIM_SEED="1",
+        VIS_ENCODER="tiny-test",
+        DATASET_NAME="MNIST",
+        DATASET_DIR=str(tmp_path / "data"),
+        MODEL="textual_prompt",
+        SPLIT_SEED="500",
+        ARTIFACT_DIR=str(tmp_path / "artifacts"),
+    )
+    return env
+
+
+def test_run_prompts_ssl_script_end_to_end(tmp_path):
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_prompts_ssl.sh")],
+        cwd=str(REPO), env=env, capture_output=True, timeout=900,
+    )
+    out = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, out[-4000:]
+
+    results = tmp_path / "artifacts" / "results_model_textual_prompt.json"
+    assert results.exists(), out[-4000:]
+    lines = [json.loads(l) for l in results.read_text().splitlines() if l]
+    assert len(lines) == 1
+    assert lines[0]["model"] == "textual_prompt"
+    assert 0.0 <= lines[0]["accuracy"] <= 1.0
+    # config echoed into the results line carries the launcher's env values
+    assert lines[0]["config"]["OPTIM_SEED"] == 1
+    assert lines[0]["config"]["VIS_ENCODER"] == "tiny-test"
+    # the trained prompt artifact lands under ARTIFACT_DIR (reference
+    # utils/compute_metrics.py:105-147 filename schema)
+    prompts = list((tmp_path / "artifacts" / "trained_prompts").iterdir())
+    assert prompts, "no trained prompt artifact written"
+    # nothing leaked into the repo root (launcher runs from the checkout)
+    assert not (REPO / "results_model_textual_prompt.json").exists()
+
+
+def test_run_prompts_script_requires_model(tmp_path):
+    env = _launcher_env(tmp_path)
+    del env["MODEL"]
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_prompts.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=60,
+    )
+    assert proc.returncode != 0
+    assert b"MODEL" in proc.stderr
