@@ -5,7 +5,8 @@ export VIS_ENCODER="${VIS_ENCODER:-ViT-B/32}"
 export SPLIT_SEED="${SPLIT_SEED:-500}"
 export MODEL=clip_baseline
 export DATASET_DIR="${DATASET_DIR:?set DATASET_DIR}"
-for DATASET_NAME in Flowers102 RESICS45 FGVCAircraft MNIST EuroSAT DTD; do
+# reference loops the six FRAMED datasets; override with DATASETS="A B ..."
+for DATASET_NAME in ${DATASETS:-Flowers102 RESICS45 FGVCAircraft MNIST EuroSAT DTD}; do
   export DATASET_NAME
   python run_main_clip.py --model_config clip_config.yml --learning_paradigm "${1:-ssl}"
 done

@@ -85,3 +85,68 @@ def test_run_prompts_script_requires_model(tmp_path):
     )
     assert proc.returncode != 0
     assert b"MODEL" in proc.stderr
+
+
+def test_run_clip_script(tmp_path):
+    """run_clip.sh loops zero-shot eval over datasets (reference
+    scripts/run_clip.sh); DATASETS narrows the loop to the fixture."""
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    env["DATASETS"] = "MNIST"
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_clip.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=600,
+    )
+    out = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, out[-4000:]
+    results = tmp_path / "artifacts" / "results_model_clip_baseline.json"
+    lines = [json.loads(l) for l in results.read_text().splitlines() if l]
+    assert len(lines) == 1 and lines[0]["model"] == "clip_baseline"
+
+
+def test_run_pseudolabels_ssl_script(tmp_path):
+    """The pseudolabel launcher (reference scripts/run_pseudolabels_ssl.sh)
+    with an FPL model writes the pseudolabel pickle next to the prompts."""
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    env["MODEL"] = "textual_fpl"
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_pseudolabels_ssl.sh")],
+        cwd=str(REPO), env=env, capture_output=True, timeout=900,
+    )
+    out = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, out[-4000:]
+    assert list((tmp_path / "artifacts" / "pseudolabels").iterdir())
+    results = tmp_path / "artifacts" / "results_model_textual_fpl.json"
+    assert results.exists()
+
+
+def test_run_prompts_trzsl_script(tmp_path):
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_prompts_trzsl.sh")],
+        cwd=str(REPO), env=env, capture_output=True, timeout=900,
+    )
+    out = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, out[-4000:]
+    results = tmp_path / "artifacts" / "results_model_textual_prompt.json"
+    rec = json.loads(results.read_text().splitlines()[-1])
+    assert {"harmonic_mean", "seen_accuracy", "unseen_accuracy"} <= set(rec)
+
+
+def test_run_seeds_script(tmp_path):
+    """Seed-grid protocol (reference README results = 5-seed means): SEEDS
+    narrows the grid; each seed appends one JSONL line with its OPTIM_SEED."""
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    env["SEEDS"] = "1 2"
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_seeds.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=900,
+    )
+    out = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, out[-4000:]
+    results = tmp_path / "artifacts" / "results_model_textual_prompt.json"
+    lines = [json.loads(l) for l in results.read_text().splitlines() if l]
+    assert [l["config"]["OPTIM_SEED"] for l in lines] == [1, 2]
