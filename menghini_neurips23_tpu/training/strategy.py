@@ -317,11 +317,15 @@ class TrainingStrategy:
         else:  # ssl
             self.balance_param = n_pseudo / max(1, n_labeled)
             self._w0, self._w1 = self.balance_param, 1.0
-        if self.MODALITY == "multi" and self.paradigm == "ssl":
-            # multimodal uses sqrt of the balance (reference
-            # semi_supervised_learning/multimodal_fpl.py:107)
+        if self.MODALITY == "multi" and self.paradigm in ("ssl", "trzsl"):
+            # multimodal uses sqrt of the balance in BOTH weighted paradigms
+            # (reference semi_supervised_learning/multimodal_fpl.py:107,
+            # transductive_zsl/multimodal_fpl.py:104)
             self.balance_param = math.sqrt(self.balance_param)
-            self._w0 = self.balance_param
+            if self.paradigm == "ssl":
+                self._w0 = self.balance_param
+            else:
+                self._w1 = self.balance_param
 
     # ------------------------------------------------------- dataset assembly
     def create_training_dataset(self, train_data, unlabeled_data=None):

@@ -323,14 +323,18 @@ def _reference_prompt_cls(a, sd, monkeypatch, loss_log, modality="text",
     )
     cls = getattr(mod, cls_name)
     if fpl:
-        assert modality == "text"
-        mss_stub.TextualPrompt = cls  # textual_fpl imports it from the pkg
+        setattr(mss_stub, cls_name, cls)  # {m}_fpl imports it from the pkg
+        fpl_fname = fname.replace("_prompt", "_fpl")
         fpl_mod = _load_module(
-            f"_ref_{paradigm}_textual_fpl",
-            REF / f"methods/{paradigm}/textual_fpl.py",
+            f"_ref_{paradigm}_{fpl_fname}",
+            REF / f"methods/{paradigm}/{fpl_fname}.py",
             monkeypatch,
         )
-        cls = fpl_mod.TextualFPL
+        cls = getattr(
+            fpl_mod,
+            {"text": "TextualFPL", "image": "VisualFPL",
+             "multi": "MultimodalFPL"}[modality],
+        )
     return cls, sched_mod
 
 
