@@ -35,10 +35,15 @@ def timed(name, fn):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/menghini_bench_jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
+    )
     from menghini_neurips23_tpu.config import Config
     from menghini_neurips23_tpu.training import TextualStrategy
 

@@ -27,10 +27,13 @@ def timed(name, fn):
 
 
 def main():
+    import os
+
     import jax
 
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/menghini_bench_jax_cache"
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
     )
     from menghini_neurips23_tpu.config import Config
     from menghini_neurips23_tpu.training import TextualStrategy

@@ -73,18 +73,19 @@ def structural_histogram(hlo_text: str) -> dict:
 
 
 def dump_variant(variant: str, outdir: Path) -> Path:
+    import os
+
     import numpy as np
 
     import jax
 
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/menghini_bench_jax_cache"
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/menghini_bench_jax_cache"),
     )
     from menghini_neurips23_tpu.config import Config
     from menghini_neurips23_tpu.runtime import ClipRuntime
     from menghini_neurips23_tpu.training import MultimodalStrategy
-
-    import os
 
     tiny = bool(os.environ.get("FINGERPRINT_TINY"))  # CPU wiring check only
     # the production bench shape (bisect_upt.py), one 50-epoch chunk: the

@@ -2,11 +2,19 @@
 
 Prints one line per subsystem so a user can see, before launching a grid,
 whether they are about to run on real weights, a real tokenizer, a real
-accelerator, and warm caches.  Exit code 0 always (it reports, not gates).
+accelerator, and warm caches.
+
+Default mode reports only (exit 0 always).  `--strict` gates: non-zero exit
+when any check a REPRODUCTION run depends on fails (random weights, missing
+BPE merges, no accelerator, missing dataset dir), so `scripts/run_seeds.sh`
+can refuse to burn a seed grid on a misconfigured host (REPRODUCE.md
+acceptance protocol).  The native-extension and compile-cache checks stay
+advisory in strict mode - they affect speed, not results.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -16,15 +24,31 @@ def _line(name: str, ok: bool, detail: str) -> None:
 
 
 def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="exit non-zero when a reproduction-critical check fails "
+        "(random weights / missing BPE / no accelerator / missing dataset)",
+    )
+    args = ap.parse_args(argv)
+    failures = []
+
+    def gate(name: str, ok: bool) -> None:
+        if not ok:
+            failures.append(name)
+
     # 1. backend / devices (first device touch may pay a cold-claim delay)
     import jax
 
     devices = jax.devices()
+    accel_ok = devices[0].platform == "tpu"
     _line(
         "backend",
-        devices[0].platform == "tpu",
+        accel_ok,
         f"{jax.default_backend()} ({len(devices)} device(s): {devices[0].device_kind})",
     )
+    gate("backend", accel_ok)
 
     # 2. CLIP weights
     ckpt = os.environ.get("CLIP_CKPT", "")
@@ -32,11 +56,13 @@ def main(argv=None) -> int:
         _line("clip weights", True, ckpt)
     elif ckpt:
         _line("clip weights", False, f"CLIP_CKPT={ckpt} DOES NOT EXIST")
+        gate("clip weights", False)
     else:
         _line(
             "clip weights", False,
             "CLIP_CKPT unset - runs use RANDOM weights (throughput only)",
         )
+        gate("clip weights", False)
 
     # 3. tokenizer
     bpe = os.environ.get("BPE_PATH", "") or os.environ.get("CLIP_BPE_PATH", "")
@@ -47,14 +73,16 @@ def main(argv=None) -> int:
             "tokenizer", False,
             "no BPE merges (BPE_PATH/CLIP_BPE_PATH) - byte-level fallback vocab",
         )
+        gate("tokenizer", False)
 
-    # 4. native extensions (build on first use)
+    # 4. native extensions (build on first use) - advisory even in strict
+    # mode: the pure-Python fallbacks are byte-identical, only slower
     from menghini_neurips23_tpu.data._native import get_fastloader, get_leaderboard
 
     _line("native loader", get_fastloader() is not None, "C++ threaded image decode")
     _line("native leaderboard", get_leaderboard() is not None, "C++ exact top-K cascade")
 
-    # 5. compile cache
+    # 5. compile cache - advisory: affects wall-clock, not results
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "") or (
         jax.config.jax_compilation_cache_dir or ""
     )
@@ -70,10 +98,13 @@ def main(argv=None) -> int:
 
     # 6. dataset root
     ddir = os.environ.get("DATASET_DIR", "")
-    if ddir:
-        _line("dataset dir", os.path.isdir(ddir), ddir)
-    else:
-        _line("dataset dir", False, "DATASET_DIR unset")
+    ddir_ok = bool(ddir) and os.path.isdir(ddir)
+    _line("dataset dir", ddir_ok, ddir or "DATASET_DIR unset")
+    gate("dataset dir", ddir_ok)
+
+    if args.strict and failures:
+        print(f"strict: FAILED ({', '.join(failures)})", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -69,11 +69,44 @@ def _establish_collectives() -> None:
     here - sub-second compile, microseconds after jax.distributed.initialize
     released all ranks together - establishes the all-devices communicator
     once; XLA caches it per clique, so every later (arbitrarily skewed)
-    program reuses it instead of re-rendezvousing."""
+    program whose collectives run over the FULL mesh reuses it instead of
+    re-rendezvousing.  Collectives over a sub-clique (e.g. the dp-only or
+    tp-only axis of a dp x tp mesh) still rendezvous lazily on first use -
+    warm_axis_collectives() covers those once the mesh shape is known."""
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("mnt:establish-collectives")
     log.info("full-mesh collective context established")
+
+
+def warm_axis_collectives(mesh) -> None:
+    """Establish the per-axis sub-clique communicators a multi-axis mesh
+    will use (the dp-only and tp-only collectives of a dp x tp mesh).
+
+    XLA caches gloo communicators PER CLIQUE: the full-mesh warmup in
+    _establish_collectives() does not cover a later psum over just 'data' or
+    just 'model', whose first execution still rendezvouses lazily and can
+    hit the hardcoded 30 s key-value deadline behind rank-skewed compiles.
+    Called at runtime construction while ranks are still aligned from mesh
+    setup.  No-op outside a process group or on a 1-axis mesh (already
+    covered by the full-mesh warmup)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    if jax.process_count() <= 1 or len(mesh.axis_names) <= 1:
+        return
+    for ax in mesh.axis_names:
+        if mesh.shape[ax] <= 1:
+            continue
+        f = jax.jit(
+            jax.shard_map(
+                lambda x, ax=ax: jax.lax.psum(x, ax),
+                mesh=mesh, in_specs=P(), out_specs=P(),
+            )
+        )
+        np.asarray(f(jnp.zeros((1,), jnp.float32)))  # force execution
+    log.info("per-axis collective contexts established: %s", dict(mesh.shape))
 
 
 def initialize_from_env(env=None) -> bool:

@@ -1,27 +1,37 @@
-"""Device-side segmented per-class top-K pseudolabel selection.
+"""Device-side segmented per-class top-K pseudolabel selection - EXACT.
 
-The exact reference algorithm (pseudo/engine.py:leaderboard_top_k) is
-sequential: a sample that overflows its argmax class's board cascades to its
-next-best classes, so results depend on pool order.  That cascade cannot be
-expressed as a parallel reduction without changing semantics - it stays on
-the host for parity.
+The reference algorithm (pseudo/engine.py:leaderboard_top_k, reference
+utils/clip_pseudolabels.py:47-101) is sequential: a sample that overflows its
+argmax class's board cascades to its next-best classes, so results depend on
+pool order.  That cascade cannot be expressed as a parallel reduction without
+changing semantics.
 
-This module is the TPU fast path (config PSEUDO_TOPK="device"): each sample
-is offered ONLY to its argmax class, and each class keeps its top-K by
-confidence - one masked `jax.lax.top_k` over the (C, N) score matrix, no
-host loop.  It agrees with the exact algorithm whenever no class board
-overflows (and in practice selects near-identical sets; the cascade only
-redistributes overflow samples).
+This module is the TPU fast path (config PSEUDO_TOPK="device") and is
+guaranteed to return BYTE-IDENTICAL output to the exact host leaderboard:
+
+- When no class receives more than k argmax assignments (the condition the
+  exact path also computes), the cascade provably never fires and every board
+  holds exactly its argmax-assigned samples in arrival order.  The kernel -
+  one masked `jax.lax.top_k` over the (C, N) score matrix, no host loop -
+  selects those samples, and the winner indices are re-sorted ascending to
+  restore arrival order.
+- On board overflow (counts.max() > k), or for the LABEL_ALL sentinel whose
+  output is pool-ordered rather than class-grouped, it falls back to the
+  exact host leaderboard.  No config knob can silently change pseudolabel
+  sets versus reference utils/clip_pseudolabels.py semantics.
 """
 
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _NEG = -1e30
 
@@ -44,17 +54,32 @@ def device_topk(
     k: int,
     class_ids: Sequence[int],
 ) -> Tuple[List[str], List[int]]:
-    """Same call signature/return as leaderboard_top_k (engine.py)."""
-    n = probs.shape[0]
+    """Same call signature, return, and OUTPUT as leaderboard_top_k."""
+    from menghini_neurips23_tpu.pseudo.engine import LABEL_ALL, leaderboard_top_k
+
+    n, c = probs.shape
     k_eff = min(k, n)
+    if k == LABEL_ALL or k_eff <= 0:
+        # LABEL_ALL output is pool-ordered (engine.py:50-52), not
+        # class-grouped; it is a plain argmax anyway - no kernel needed
+        return leaderboard_top_k(probs, filepaths, k, class_ids)
+    argmax = np.asarray(probs).argmax(axis=1)
+    counts = np.bincount(argmax, minlength=c)
+    if counts.max() > k_eff:
+        # a board overflows: only the sequential cascade is exact here
+        log.info(
+            "device_topk: class board overflow (max %d > k=%d); using the "
+            "exact host leaderboard", int(counts.max()), k_eff,
+        )
+        return leaderboard_top_k(probs, filepaths, k, class_ids)
     idx, valid = _segmented_topk_scores(jnp.asarray(probs), k_eff)
     idx = np.asarray(idx)
     valid = np.asarray(valid)
     new_imgs: List[str] = []
     new_labels: List[int] = []
     for ci, cid in enumerate(class_ids):
-        for j in range(k_eff):
-            if valid[ci, j]:
-                new_imgs.append(filepaths[int(idx[ci, j])])
-                new_labels.append(cid)
+        # ascending index = arrival order, matching the exact no-overflow path
+        sel = sorted(int(idx[ci, j]) for j in range(k_eff) if valid[ci, j])
+        new_imgs += [filepaths[i] for i in sel]
+        new_labels += [cid] * len(sel)
     return new_imgs, new_labels

@@ -132,7 +132,10 @@ def compute_pseudo_labels(
     protocol, clip_pseudolabels.py:111-117); optionally pickle the result.
 
     :param method: "exact" = the reference's sequential leaderboard cascade;
-        "device" = one lax.top_k on device (pseudo/device_topk.py)
+        "device" = one lax.top_k on device (pseudo/device_topk.py).  Both
+        produce byte-identical output: the device path self-gates on the
+        board-overflow condition and falls back to the exact cascade when
+        the kernel cannot reproduce it.
     """
     class_ids = [label_to_idx[c] for c in classnames]
     if k <= 0:

@@ -108,6 +108,15 @@ class ClipRuntime:
         from menghini_neurips23_tpu.parallel import replicated
 
         self._osh = replicated(self.mesh) if self._pc > 1 else self._dsh
+        if self._pc > 1:
+            # warm each mesh axis's gloo sub-clique while ranks are aligned
+            # (XLA caches communicators per clique; the full-mesh warmup at
+            # group init does not cover dp-only/tp-only collectives)
+            from menghini_neurips23_tpu.parallel.multihost import (
+                warm_axis_collectives,
+            )
+
+            warm_axis_collectives(self.mesh)
         # decoded-uint8 LRU: GRIP's 10 refresh passes re-read the same pool
         # files; passes 2..N become RAM reads (data/loader.CachingImageLoader)
         from menghini_neurips23_tpu.utils.cache import BoundedFeatureCache

@@ -194,9 +194,26 @@ def test_doctor_reports_all_subsystems(capsys, monkeypatch, tmp_path):
 
     monkeypatch.setenv("CLIP_CKPT", str(tmp_path / "missing.npz"))
     monkeypatch.setenv("DATASET_DIR", str(tmp_path))
-    assert doctor.main() == 0
+    assert doctor.main([]) == 0
     out = capsys.readouterr().out
     for name in ("backend", "clip weights", "tokenizer", "native loader",
                  "native leaderboard", "compile cache", "dataset dir"):
         assert name in out
     assert "DOES NOT EXIST" in out  # bad CLIP_CKPT is called out
+
+
+def test_doctor_strict_gates_misconfigured_host(capsys, monkeypatch, tmp_path):
+    """--strict exits non-zero on reproduction-critical failures (random
+    weights / missing BPE / no accelerator), naming the failed checks; the
+    advisory checks (native extensions, compile cache) never gate."""
+    from menghini_neurips23_tpu import doctor
+
+    monkeypatch.delenv("CLIP_CKPT", raising=False)
+    monkeypatch.delenv("BPE_PATH", raising=False)
+    monkeypatch.delenv("CLIP_BPE_PATH", raising=False)
+    monkeypatch.setenv("DATASET_DIR", str(tmp_path))
+    assert doctor.main(["--strict"]) == 1
+    err = capsys.readouterr().err
+    assert "strict: FAILED" in err
+    assert "clip weights" in err and "tokenizer" in err and "backend" in err
+    assert "native" not in err and "compile cache" not in err

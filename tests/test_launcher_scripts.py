@@ -52,6 +52,9 @@ def _launcher_env(tmp_path):
 def test_run_prompts_ssl_script_end_to_end(tmp_path):
     make_mnist_fixture(tmp_path / "data" / "MNIST")
     env = _launcher_env(tmp_path)
+    # snapshot the checkout root: the leak check below must flag only files
+    # THIS run creates, not a stale artifact from a prior manual run
+    root_before = set(os.listdir(REPO))
     proc = subprocess.run(
         ["bash", str(REPO / "scripts" / "run_prompts_ssl.sh")],
         cwd=str(REPO), env=env, capture_output=True, timeout=900,
@@ -72,8 +75,11 @@ def test_run_prompts_ssl_script_end_to_end(tmp_path):
     # utils/compute_metrics.py:105-147 filename schema)
     prompts = list((tmp_path / "artifacts" / "trained_prompts").iterdir())
     assert prompts, "no trained prompt artifact written"
-    # nothing leaked into the repo root (launcher runs from the checkout)
-    assert not (REPO / "results_model_textual_prompt.json").exists()
+    # nothing leaked into the repo root (launcher runs from the checkout):
+    # compare against the pre-run snapshot so a stale file from an earlier
+    # manual run can't fail (or mask) the check
+    leaked = set(os.listdir(REPO)) - root_before
+    assert not leaked, f"launcher leaked into the repo root: {sorted(leaked)}"
 
 
 def test_run_prompts_script_requires_model(tmp_path):
@@ -137,10 +143,13 @@ def test_run_prompts_trzsl_script(tmp_path):
 
 def test_run_seeds_script(tmp_path):
     """Seed-grid protocol (reference README results = 5-seed means): SEEDS
-    narrows the grid; each seed appends one JSONL line with its OPTIM_SEED."""
+    narrows the grid; each seed appends one JSONL line with its OPTIM_SEED.
+    DOCTOR_SKIP=1 bypasses the strict preflight (tiny-test = random weights,
+    which the gate exists to refuse)."""
     make_mnist_fixture(tmp_path / "data" / "MNIST")
     env = _launcher_env(tmp_path)
     env["SEEDS"] = "1 2"
+    env["DOCTOR_SKIP"] = "1"
     proc = subprocess.run(
         ["bash", str(REPO / "scripts" / "run_seeds.sh"), "ssl"],
         cwd=str(REPO), env=env, capture_output=True, timeout=900,
@@ -150,3 +159,46 @@ def test_run_seeds_script(tmp_path):
     results = tmp_path / "artifacts" / "results_model_textual_prompt.json"
     lines = [json.loads(l) for l in results.read_text().splitlines() if l]
     assert [l["config"]["OPTIM_SEED"] for l in lines] == [1, 2]
+
+
+def test_run_seeds_script_strict_doctor_gate(tmp_path):
+    """Without DOCTOR_SKIP, run_seeds.sh refuses to burn a seed grid on a
+    misconfigured host (random weights / no accelerator -> doctor --strict
+    exits non-zero) BEFORE running any seed."""
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)  # no CLIP_CKPT, CPU backend
+    env.pop("DOCTOR_SKIP", None)
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_seeds.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=300,
+    )
+    assert proc.returncode != 0
+    assert b"doctor --strict failed" in proc.stderr
+    # the gate fired before any training run appended results
+    assert not (tmp_path / "artifacts" / "results_model_textual_prompt.json").exists()
+
+
+def test_run_seeds_script_blank_seeds_is_an_error(tmp_path):
+    """A set-but-blank SEEDS must fail loudly, not run zero iterations and
+    exit 0 (advisor finding, round 4)."""
+    make_mnist_fixture(tmp_path / "data" / "MNIST")
+    env = _launcher_env(tmp_path)
+    env["SEEDS"] = "   "
+    env["DOCTOR_SKIP"] = "1"
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_seeds.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=60,
+    )
+    assert proc.returncode != 0
+    assert b"SEEDS is set but empty" in proc.stderr
+
+
+def test_run_clip_script_blank_datasets_is_an_error(tmp_path):
+    env = _launcher_env(tmp_path)
+    env["DATASETS"] = " "
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_clip.sh"), "ssl"],
+        cwd=str(REPO), env=env, capture_output=True, timeout=60,
+    )
+    assert proc.returncode != 0
+    assert b"DATASETS is set but empty" in proc.stderr

@@ -114,9 +114,10 @@ def test_cache_roundtrip(tmp_path):
     assert (list(ds2.filepaths), list(ds2.labels)) == first
 
 
-def test_device_topk_matches_exact_when_no_overflow():
-    """With k >= per-class assignment counts, the cascade never fires and the
-    device fast path selects exactly the exact-leaderboard sets."""
+def test_device_topk_is_exact_when_no_overflow():
+    """With k >= per-class assignment counts, the cascade never fires; the
+    device kernel path must be BYTE-IDENTICAL to the exact leaderboard,
+    including arrival order within each class."""
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
     rng = np.random.default_rng(0)
@@ -126,29 +127,38 @@ def test_device_topk_matches_exact_when_no_overflow():
     class_ids = [3, 5, 7, 9]
     exact = leaderboard_top_k(probs, paths, 50, class_ids)
     dev = device_topk(probs, paths, 50, class_ids)
-    # same (path, label) sets per class (ordering within a class may differ:
-    # exact keeps arrival order below k, device returns descending confidence)
-    assert sorted(zip(*exact)) == sorted(zip(*dev))
+    assert exact == dev
 
 
-def test_device_topk_respects_k():
+def test_device_topk_is_exact_under_overflow():
+    """On board overflow the parallel kernel cannot reproduce the sequential
+    cascade, so device_topk must fall back to the exact leaderboard - the
+    PSEUDO_TOPK knob can never silently change pseudolabel sets (reference
+    utils/clip_pseudolabels.py:47-101 semantics)."""
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
     rng = np.random.default_rng(1)
     probs = rng.random((200, 3)).astype(np.float32)
     probs /= probs.sum(1, keepdims=True)
     paths = [f"p{i}" for i in range(200)]
-    imgs, labs = device_topk(probs, paths, 5, [0, 1, 2])
-    for cid in (0, 1, 2):
-        assert labs.count(cid) <= 5
-    # winners per class are the top-confidence argmax-assigned samples
-    pred = probs.argmax(1)
-    conf = probs.max(1)
-    for cid in (0, 1, 2):
-        assigned = [(conf[i], paths[i]) for i in range(200) if pred[i] == cid]
-        want = {p for _, p in sorted(assigned, reverse=True)[:5]}
-        got = {imgs[i] for i in range(len(imgs)) if labs[i] == cid}
-        assert got == want
+    exact = leaderboard_top_k(probs, paths, 5, [0, 1, 2])
+    dev = device_topk(probs, paths, 5, [0, 1, 2])
+    assert exact == dev
+    # the overflow condition really held (the kernel path was not taken)
+    assert np.bincount(probs.argmax(1), minlength=3).max() > 5
+
+
+def test_device_topk_is_exact_for_label_all():
+    """LABEL_ALL output is pool-ordered, not class-grouped; device delegates."""
+    from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+    from menghini_neurips23_tpu.pseudo.engine import LABEL_ALL
+
+    rng = np.random.default_rng(2)
+    probs = rng.random((30, 3)).astype(np.float32)
+    paths = [f"q{i}" for i in range(30)]
+    exact = leaderboard_top_k(probs, paths, LABEL_ALL, [4, 5, 6])
+    dev = device_topk(probs, paths, LABEL_ALL, [4, 5, 6])
+    assert exact == dev
 
 
 def test_fast_path_matches_sequential_when_no_overflow():
