@@ -215,7 +215,9 @@ class TrainingStrategy:
         out = np.stack([have[p] for p in paths])
         if cache:
             # byte-capped FIFO (a single L/14 VPT stack is ~1 GB; entry
-            # counts alone would not bound host RAM)
+            # counts alone would not bound host RAM); read-only so a caller
+            # mutating a memoized stack faults instead of corrupting later hits
+            out.setflags(write=False)
             memo[key] = out
             cap = max(int(self.config.HOST_CACHE_BYTES), out.nbytes)
             while len(memo) > 1 and sum(v.nbytes for v in memo.values()) > cap:
