@@ -174,6 +174,36 @@ def test_fast_path_matches_sequential_when_no_overflow():
     assert fast == tuple(seq) or list(fast) == list(seq)
 
 
+def test_exactly_full_boards_stay_arrival_ordered():
+    """counts.max() == k is the boundary of the no-overflow gate: boards fill
+    to exactly k but never overflow, so the reference's sequential algorithm
+    leaves them UNSORTED (arrival order) - the first overflow is what sorts a
+    board, and it never comes.  Both the vectorized fast path and the device
+    kernel path must agree with the sequential spec here, byte for byte."""
+    from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+
+    k, c = 4, 3
+    rng = np.random.default_rng(11)
+    # construct probs where EVERY class receives exactly k argmax assignments,
+    # with descending-then-ascending confidences so arrival order != sorted
+    rows = []
+    for i in range(k * c):
+        j = i % c
+        row = rng.random(c).astype(np.float32) * 0.2
+        row[j] = 0.5 + 0.4 * ((i // c) % 2) + 0.01 * i  # non-monotone in i
+        rows.append(row / row.sum())
+    probs = np.stack(rows)
+    counts = np.bincount(probs.argmax(1), minlength=c)
+    assert counts.max() == k == counts.min()  # the boundary case really holds
+    paths = [f"b{i:02d}" for i in range(k * c)]
+    class_ids = [1, 3, 5]
+    seq = spec_leaderboard(probs, paths, k, class_ids)
+    fast = leaderboard_top_k(probs, paths, k, class_ids)
+    dev = device_topk(probs, paths, k, class_ids)
+    assert list(fast) == list(seq)
+    assert list(dev) == list(seq)
+
+
 def test_native_leaderboard_matches_python():
     """The C++ cascade must be exactly equal to the Python implementation,
     including overflow re-sorts and cross-class cascades."""
