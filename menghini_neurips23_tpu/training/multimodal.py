@@ -103,9 +103,11 @@ class MultimodalStrategy(TrainingStrategy):
         if cache is None:
             cache = self._ctx_ids_cache = {}
         if key not in cache:
-            cache[key] = build_prompt_token_ids(
+            ids = build_prompt_token_ids(
                 self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
             )
+            ids.setflags(write=False)  # a caller write would corrupt later hits
+            cache[key] = ids
         return cache[key]
 
     # ----------------------------------------------------------- inference

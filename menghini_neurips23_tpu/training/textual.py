@@ -80,6 +80,7 @@ class TextualStrategy(TrainingStrategy):
             )
             if self.config.TEXT_TRUNCATE:
                 ids = truncate_context(ids)
+            ids.setflags(write=False)  # a caller write would corrupt later hits
             cache[key] = ids
         return cache[key]
 
