@@ -305,3 +305,45 @@ def test_grip_schedule_clamps_degenerate_pools():
     assert shots(S(), 1, 1, 3, 12) == 1
     # cap by pool still applies before the clamp
     assert shots(S(), 10, 1638, 10, 64) == 6
+
+
+def test_fuzz_all_topk_paths_agree():
+    """Randomized cross-check of every top-K implementation against the
+    sequential spec oracle on 40 shapes spanning the boundary regimes
+    (under-full, exactly-full, and overflowing boards; k > n; skewed class
+    distributions that force the cascade): the production leaderboard
+    (vectorized fast path engages per shape), the native C++ cascade
+    (reference utils/clip_pseudolabels.py:47-101 semantics), and the device
+    kernel path (which must silently fall back whenever it cannot be exact).
+    Any divergence anywhere is a pseudolabel-set parity bug."""
+    from menghini_neurips23_tpu.data._native import get_leaderboard
+    from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+
+    native = get_leaderboard()
+    rng = np.random.default_rng(123)
+    k_pool = [1, 2, 3, 5, 8, 16, 50]  # bounded set: device path jits per k
+    for trial in range(40):
+        n = int(rng.integers(5, 400))
+        c = int(rng.integers(2, 12))
+        k = int(rng.choice(k_pool))
+        logits = rng.normal(size=(n, c)).astype(np.float32)
+        if trial % 3 == 0:
+            logits[:, 0] += 2.5  # one class hoards argmaxes -> overflow + cascade
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        paths = [f"i{j:05d}.jpg" for j in range(n)]
+        class_ids = [7 * j + 3 for j in range(c)]
+        shape = (trial, n, c, k)
+        want = tuple(map(list, spec_leaderboard(probs, paths, k, class_ids)))
+
+        got = tuple(map(list, leaderboard_top_k(probs, paths, k, class_ids)))
+        assert got == want, ("leaderboard_top_k", shape)
+
+        dev = tuple(map(list, device_topk(probs, paths, k, class_ids)))
+        assert dev == want, ("device_topk", shape)
+
+        if native is not None:
+            idx, cols = native.leaderboard(
+                np.ascontiguousarray(probs).tobytes(), paths, n, c, k
+            )
+            nat = ([paths[i] for i in idx], [class_ids[j] for j in cols])
+            assert tuple(map(list, nat)) == want, ("native", shape)
