@@ -271,3 +271,46 @@ def test_leaderboard_matches_reference_exec(tmp_path, ref_pseudo, k):
     )
     assert our_files == ref_files
     assert [int(l) for l in our_labels] == ref_labels
+
+
+def test_scheduler_fuzz_matches_reference_exec(ref_sched):
+    """Config fuzz across all three scheduler types: 15 random configs per
+    type, per-epoch lrs vs the reference's own make_scheduler stepping a
+    torch optimizer (cosine uses the lambda directly: the published class
+    passes a LambdaLR(verbose=) kwarg removed in modern torch).  Pins the
+    edge regimes the fixed-config A/Bs miss (warmup == total, warmup 0,
+    STEP_SIZE 1, 1-epoch runs)."""
+    import torch
+
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.training.schedulers import lr_for_epoch
+
+    rng = np.random.default_rng(31)
+    for trial in range(15):
+        total = int(rng.integers(1, 40))
+        warmup = int(rng.integers(0, total + 1))  # warmup == total included
+        lr = float(rng.choice([0.1, 0.01, 0.0025]))
+
+        cfg = Config(SCHEDULER="cosine", LR=lr, WARMUP_EPOCHS=warmup, EPOCHS=total)
+        cls = ref_sched.WarmupCosineSchedule
+        obj = cls.__new__(cls)
+        obj.warmup_steps, obj.t_total, obj.cycles = warmup, total, 0.5
+        for e in range(total):
+            assert lr_for_epoch(cfg, e) == pytest.approx(
+                lr * obj.lr_lambda(e), abs=1e-12
+            ), ("cosine", trial, total, warmup, e)
+
+        for sched, kw in (
+            ("one_warmup_epoch", dict(WARMUP_EPOCHS=1, WARMUP_LR=1e-4)),
+            ("steplr", dict(STEP_SIZE=int(rng.integers(1, max(2, total))))),
+        ):
+            cfg = Config(SCHEDULER=sched, LR=lr, EPOCHS=total, **kw)
+            p = torch.zeros(1, requires_grad=True)
+            opt = torch.optim.SGD([p], lr=lr)
+            ref = ref_sched.make_scheduler(opt, cfg)
+            for e in range(total):
+                assert lr_for_epoch(cfg, e) == pytest.approx(
+                    opt.param_groups[0]["lr"], abs=1e-12
+                ), (sched, trial, total, e)
+                opt.step()
+                ref.step()
