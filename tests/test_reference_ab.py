@@ -314,3 +314,42 @@ def test_scheduler_fuzz_matches_reference_exec(ref_sched):
                 ), (sched, trial, total, e)
                 opt.step()
                 ref.step()
+
+
+def test_evaluate_predictions_fuzz_matches_reference_exec(ref_metrics):
+    """Metric-math fuzz: 8 random prediction frames per paradigm (varied
+    sizes, class counts, seen/unseen splits, duplicate-basename-free) through
+    the reference's own evaluate_predictions vs ours."""
+    import pandas as pd
+
+    from menghini_neurips23_tpu.config import Config
+    from menghini_neurips23_tpu.evaluation.metrics import evaluate_predictions
+
+    rng = np.random.default_rng(5)
+    for paradigm in ("ssl", "ul", "trzsl"):
+        for trial in range(8):
+            nc = int(rng.integers(3, 12))
+            n = int(rng.integers(5, 120))
+            classes = [f"c{j}" for j in range(nc)]
+            n_seen = int(rng.integers(1, nc))
+            seen, unseen = classes[:n_seen], classes[n_seen:]
+            files = [f"root/sub/img{i:03d}.png" for i in range(n)]
+            truth = [classes[int(j)] for j in rng.integers(0, nc, n)]
+            preds = [classes[int(j)] for j in rng.integers(0, nc, n)]
+            df_preds = pd.DataFrame(
+                {"id": [f.split("/")[-1] for f in files], "class": preds}
+            )
+            cfg = Config(LEARNING_PARADIGM=paradigm)
+            ours = evaluate_predictions(
+                cfg, df_preds.copy(), files, truth, unseen, seen
+            )
+            theirs = ref_metrics.evaluate_predictions(
+                cfg, df_preds.copy(), files, truth, unseen, seen
+            )
+            for o, t in zip(ours, theirs):
+                if t is None:
+                    assert o is None, (paradigm, trial)
+                else:
+                    assert float(o) == pytest.approx(float(t), abs=1e-12), (
+                        paradigm, trial, nc, n,
+                    )
