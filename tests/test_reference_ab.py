@@ -456,3 +456,123 @@ def test_driver_assembly_matches_reference_exec(paradigm):
             assert (seen2, unseen2) == (classes, classes), key
         else:
             assert (list(seen2), list(unseen2)) == (seen, unseen), key
+
+
+def test_persist_matches_reference_exec(ref_metrics, tmp_path, monkeypatch):
+    """Artifact persistence A/B: the reference's own store_results /
+    save_parameters / save_pseudo_labels / save_predictions
+    (utils/compute_metrics.py:58-171) run in one cwd, ours in another, on
+    identical configs and payloads.  The produced relative file TREES must
+    match name-for-name, the results JSON byte-for-byte, and every prompt
+    artifact must load back identically through our reader."""
+    import pandas as pd
+    import torch
+
+    from menghini_neurips23_tpu.evaluation import interop, persist
+    from test_artifact_interop import _assert_tree_equal, _synthetic_multi_params
+
+    refdir, ourdir = tmp_path / "ref", tmp_path / "ours"
+    for d in (refdir, ourdir):
+        for sub in ("trained_prompts", "pseudolabels", "evaluation"):
+            (d / sub).mkdir(parents=True)
+
+    def cfg(**kw):
+        base = dict(
+            DATASET_NAME="DTD", LEARNING_PARADIGM="ssl", MODEL="textual_fpl",
+            VIS_ENCODER="ViT-B/32", OPTIM_SEED=1, SPLIT_SEED=500,
+            MODALITY="text",
+        )
+        base.update(kw)
+        return types.SimpleNamespace(**base)
+
+    # store_results: fresh-file write, append, and the trzsl 3-tuple branch
+    for conf, resp in [
+        (cfg(), (0.51, None, None)),
+        (cfg(), (0.62, None, None)),
+        (cfg(LEARNING_PARADIGM="trzsl", MODEL="visual_fpl"), (0.4, 0.6, 0.48)),
+    ]:
+        monkeypatch.chdir(refdir)
+        ref_metrics.store_results(conf, resp)
+        monkeypatch.chdir(ourdir)
+        persist.store_results(conf, resp)
+    for name in ("results_model_textual_fpl.json", "results_model_visual_fpl.json"):
+        assert (ourdir / name).read_bytes() == (refdir / name).read_bytes(), name
+
+    # save_parameters, text modality, iteration None and 3: the reference
+    # pickles a torch tensor list; ours (ARTIFACT_FORMAT="torch") must write
+    # the same filename with an equal batched tensor inside
+    prefix = np.random.default_rng(0).normal(size=(8, 32)).astype(np.float32)
+    for it in (None, 3):
+        monkeypatch.chdir(refdir)
+        ref_metrics.save_parameters(
+            [torch.from_numpy(prefix[None].copy())], cfg(), iteration=it
+        )
+        monkeypatch.chdir(ourdir)
+        persist.save_parameters(
+            [prefix], cfg(ARTIFACT_FORMAT="torch"), iteration=it
+        )
+    import pickle as pkl
+
+    rel_prompt = next((refdir / "trained_prompts").glob("*iter_3*")).name
+    for d in (refdir, ourdir):
+        with open(d / "trained_prompts" / rel_prompt, "rb") as f:
+            got = pkl.load(f)
+        assert torch.equal(got[0], torch.from_numpy(prefix[None])), d
+
+    # save_parameters, multimodal: the reference torch.saves the 5 module
+    # parts and pickles the 3 embeddings; drive it with the torch views of
+    # the same subtrees our writer gets, then load BOTH artifact sets back
+    # through our reader and require identical trees
+    params = _synthetic_multi_params(np.random.default_rng(2))
+    mcfg = cfg(MODEL="multimodal_fpl", MODALITY="multi")
+    ref_obj = [interop.multi_part_to_torch(i, params[i]) for i in range(5)]
+    ref_obj += [
+        None if params[i] is None
+        else (np.asarray(params[i])[None] if i in (5, 7) else np.asarray(params[i]))
+        for i in (5, 6, 7)
+    ]
+    monkeypatch.chdir(refdir)
+    ref_metrics.save_parameters(ref_obj, mcfg)
+    monkeypatch.chdir(ourdir)
+    persist.save_parameters(
+        params, cfg(MODEL="multimodal_fpl", MODALITY="multi",
+                    ARTIFACT_FORMAT="torch")
+    )
+    monkeypatch.chdir(refdir)
+    ref_loaded = persist.load_saved_parameters(mcfg)
+    monkeypatch.chdir(ourdir)
+    our_loaded = persist.load_saved_parameters(mcfg)
+    for a, b in zip(ref_loaded, our_loaded):
+        _assert_tree_equal(a, b)
+
+    # save_pseudo_labels: byte-identical payloads
+    imgs = [f"d/c/u{i}.jpg" for i in range(7)]
+    labs = [i % 3 for i in range(7)]
+    monkeypatch.chdir(refdir)
+    ref_metrics.save_pseudo_labels(imgs, labs, cfg(MODEL="grip_textual"), 2)
+    monkeypatch.chdir(ourdir)
+    persist.save_pseudo_labels(imgs, labs, cfg(MODEL="grip_textual"), 2)
+    name = next((refdir / "pseudolabels").glob("*.pickle")).name
+    assert (ourdir / "pseudolabels" / name).read_bytes() == (
+        refdir / "pseudolabels" / name
+    ).read_bytes()
+
+    # save_predictions: equal frames under both schemas (with/without iter)
+    df = pd.DataFrame({"id": imgs, "class": [f"c{l}" for l in labs]})
+    for it in (None, 1):
+        monkeypatch.chdir(refdir)
+        ref_metrics.save_predictions(df, cfg(), iteration=it)
+        monkeypatch.chdir(ourdir)
+        persist.save_predictions(df, cfg(), iteration=it)
+    for p in (refdir / "evaluation").glob("*.pickle"):
+        with open(p, "rb") as f:
+            theirs = pkl.load(f)
+        with open(ourdir / "evaluation" / p.name, "rb") as f:
+            ours = pkl.load(f)
+        assert ours.equals(theirs), p.name
+
+    # the whole artifact trees carry identical relative filenames
+    def rel(d):
+        return sorted(p.relative_to(d).as_posix() for p in d.rglob("*") if p.is_file())
+
+    assert rel(ourdir) == rel(refdir)
