@@ -576,3 +576,101 @@ def test_persist_matches_reference_exec(ref_metrics, tmp_path, monkeypatch):
         return sorted(p.relative_to(d).as_posix() for p in d.rglob("*") if p.is_file())
 
     assert rel(ourdir) == rel(refdir)
+
+
+# ---------------------------------------------------------------------------
+# GRIP quantile schedule: the pseudoshot count per iteration is computed
+# inline in pseudo_iterative.train() (init at :62-75, growth at :113-125,
+# identical across the three paradigm copies).  Slice those lines, exec them
+# verbatim, and fuzz our _grip_pseudoshots against them.
+
+_GRIP_INIT_START = "num_iter = int(100/self.config.STEP_QUANTILE)"
+_GRIP_INIT_END = (
+    "self.config.N_PSEUDOSHOTS = math.floor(\n"
+    "                len(unlabeled_data.filepaths) / n_unseen\n"
+    "            )"
+)
+_GRIP_GROW_START = "n_per_class = int((niter + 1) * num_samples / n_unseen)"
+_GRIP_GROW_END = (
+    "self.config.N_PSEUDOSHOTS = math.floor(\n"
+    "                        len(original_unlabeled_data.filepaths) / n_unseen\n"
+    "                    )"
+)
+
+
+def _slice_block(src: str, start_anchor: str, end_anchor: str) -> str:
+    import textwrap
+
+    start = src.rfind("\n", 0, src.index(start_anchor)) + 1
+    end = src.index(end_anchor, start) + len(end_anchor)
+    return textwrap.dedent(src[start:end])
+
+
+@pytest.mark.parametrize(
+    "paradigm_dir",
+    ["semi_supervised_learning", "transductive_zsl", "unsupervised_learning"],
+)
+def test_grip_schedule_matches_reference_exec(paradigm_dir):
+    """Fuzz 20 random (pool, STEP_QUANTILE, n_unseen) configs: the reference's
+    sliced init+growth schedule code vs our _grip_pseudoshots at every
+    iteration (non-degenerate pools, where the reference never schedules 0)."""
+    import math
+
+    from menghini_neurips23_tpu.training.strategy import TrainingStrategy
+
+    src = (REF / f"methods/{paradigm_dir}/pseudo_iterative.py").read_text()
+    init_code = compile(
+        _slice_block(src, _GRIP_INIT_START, _GRIP_INIT_END), "<grip init>", "exec"
+    )
+    grow_code = compile(
+        _slice_block(src, _GRIP_GROW_START, _GRIP_GROW_END), "<grip grow>", "exec"
+    )
+
+    class _Pool:
+        def __init__(self, n):
+            self.filepaths = [f"u{i}.jpg" for i in range(n)]
+
+        def __len__(self):
+            return len(self.filepaths)
+
+    shots = TrainingStrategy._grip_pseudoshots
+    log_stub = types.SimpleNamespace(info=lambda *a, **k: None)
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        quantile = int(rng.choice([10, 20, 25, 50]))
+        n_unseen = int(rng.integers(2, 40))
+        num_iter = int(100 / quantile)
+        # non-degenerate: at least 1 pseudoshot per class at iteration 1
+        pool = int(rng.integers(num_iter * n_unseen, 20000))
+
+        self_ns = types.SimpleNamespace(
+            config=types.SimpleNamespace(STEP_QUANTILE=quantile),
+            unseen_classes=[f"c{j}" for j in range(n_unseen)],
+        )
+        ns = {
+            "self": self_ns,
+            "math": math,
+            "log": log_stub,
+            "unlabeled_data": _Pool(pool),
+            "int": int,
+            "len": len,
+        }
+        exec(init_code, ns)
+        num_samples = ns["num_samples"]
+        assert ns["num_iter"] == num_iter
+        key = (paradigm_dir, trial, pool, quantile, n_unseen)
+        assert shots(None, 1, num_samples, n_unseen, pool) == (
+            self_ns.config.N_PSEUDOSHOTS
+        ), key
+        for niter in range(1, num_iter):
+            gns = dict(ns)
+            gns.update(
+                niter=niter,
+                num_samples=num_samples,
+                n_unseen=n_unseen,
+                original_unlabeled_data=_Pool(pool),
+            )
+            exec(grow_code, gns)
+            assert shots(None, niter + 1, num_samples, n_unseen, pool) == (
+                self_ns.config.N_PSEUDOSHOTS
+            ), key + (niter,)
