@@ -674,3 +674,103 @@ def test_grip_schedule_matches_reference_exec(paradigm_dir):
             assert shots(None, niter + 1, num_samples, n_unseen, pool) == (
                 self_ns.config.N_PSEUDOSHOTS
             ), key + (niter,)
+
+
+def test_pseudolabel_cache_wrapper_matches_reference_exec(
+    ref_pseudo, tmp_path, monkeypatch
+):
+    """pseudolabel_top_k's cache-or-compute wrapper (reference
+    clip_pseudolabels.py:120-157) A/B: identical cache filename (derived by
+    executing the reference, not asserted from a schema constant),
+    byte-identical cache payload, identical dataset mutation, and on the
+    second call both sides serve the CACHE even though the live probabilities
+    changed."""
+    from menghini_neurips23_tpu.pseudo.engine import pseudolabel_top_k
+
+    rng = np.random.default_rng(23)
+    n, C, k = 30, 4, 5
+    classnames = [f"c{j}" for j in range(C)]
+    label_to_idx = {c: 3 + j for j, c in enumerate(classnames)}
+    paths = [f"d/u{i:03d}.jpg" for i in range(n)]
+    probs1 = rng.dirichlet(np.ones(C) * 0.5, size=n)
+    probs2 = rng.dirichlet(np.ones(C) * 0.5, size=n)
+
+    refdir, ourdir = tmp_path / "ref", tmp_path / "ours"
+    (refdir / "pseudolabels").mkdir(parents=True)
+    (ourdir / "pseudolabels").mkdir(parents=True)
+    # the reference loop really opens every image
+    import PIL.Image
+
+    (refdir / "d").mkdir()
+    for p in paths:
+        PIL.Image.new("RGB", (4, 4)).save(refdir / p)
+
+    conf = types.SimpleNamespace(
+        LEARNING_PARADIGM="ul", MODEL="grip_textual", VIS_ENCODER="ViT-B/32",
+        SPLIT_SEED=500,
+    )
+
+    def run_ref(probs):
+        # reuse the stub-CLIP leaderboard driver, but through the WRAPPER
+        import torch
+
+        row_of = {p: i for i, p in enumerate(paths)}
+        state = {"i": None}
+
+        class _Model:
+            def __call__(self, img, text):
+                logits = torch.log(
+                    torch.tensor(probs[state["i"]], dtype=torch.float64)
+                )[None, :]
+                return logits, logits.T
+
+            def to(self, device):
+                return self
+
+        class _TrackingList(list):
+            def __iter__(self):
+                for v in super().__iter__():
+                    state["i"] = row_of.get(v, state["i"])
+                    yield v
+
+        ds = _StubDataset([])
+        ds.filepaths = _TrackingList(paths)
+        out = ref_pseudo.pseudolabel_top_k(
+            conf, "EuroSAT", k, "a photo of a ", ds, classnames,
+            lambda img: torch.zeros(1), _Model(), label_to_idx, "cpu",
+            conf.VIS_ENCODER, conf.SPLIT_SEED,
+        )
+        return list(out.filepaths), [int(l) for l in out.labels]
+
+    def run_ours(probs):
+        ds = _StubDataset(paths)
+        out = pseudolabel_top_k(
+            types.SimpleNamespace(ARTIFACT_DIR=".", **conf.__dict__),
+            "EuroSAT", k, ds, classnames, label_to_idx,
+            lambda: probs.astype(np.float64),
+        )
+        return list(out.filepaths), [int(l) for l in out.labels]
+
+    monkeypatch.chdir(refdir)
+    ref_first = run_ref(probs1)
+    monkeypatch.chdir(ourdir)
+    our_first = run_ours(probs1)
+    assert our_first == ref_first
+
+    # identical cache filename and byte-identical payload
+    rel = lambda d: sorted(
+        p.relative_to(d).as_posix()
+        for p in (d / "pseudolabels").rglob("*")
+        if p.is_file()
+    )
+    assert rel(ourdir) == rel(refdir) and len(rel(refdir)) == 1
+    cache_rel = rel(refdir)[0]
+    assert (ourdir / cache_rel).read_bytes() == (refdir / cache_rel).read_bytes()
+
+    # second call: both sides must serve the CACHE, ignoring the new probs
+    monkeypatch.chdir(refdir)
+    ref_second = run_ref(probs2)
+    monkeypatch.chdir(ourdir)
+    our_second = run_ours(probs2)
+    assert ref_second == ref_first
+    assert our_second == our_first
