@@ -774,3 +774,85 @@ def test_pseudolabel_cache_wrapper_matches_reference_exec(
     our_second = run_ours(probs2)
     assert ref_second == ref_first
     assert our_second == our_first
+
+
+@pytest.fixture(scope="module")
+def ref_dataset():
+    return _load_ref("ref_dataset", "data/dataset.py")
+
+
+def test_dataset_resolution_matches_reference_exec(ref_dataset, tmp_path):
+    """Path resolution of CustomDataset and all 7 layout subclasses
+    (reference data/dataset.py): instantiate the reference's own classes and
+    ours on identical inputs, across the train/test, class_folder, and
+    original_filepaths branches, and require identical resolved filepaths."""
+    from menghini_neurips23_tpu.data import datasets as ours
+
+    root = str(tmp_path / "root")
+
+    def both(name, filepaths, **kw):
+        theirs = getattr(ref_dataset, name)(filepaths, root, None, **kw)
+        mine = getattr(ours, name if name != "CustomDataset" else "FileListDataset")(
+            filepaths, root, None, **kw
+        )
+        assert list(mine.filepaths) == list(theirs.filepaths), (name, kw)
+
+    both("CustomDataset", ["a.jpg", "b.jpg"], train=True)
+    both("CustomDataset", ["a.jpg", "b.jpg"], train=False)
+    both("EuroSAT", ["River_1.jpg", "Forest_2.jpg", "Forest_9.jpg"])
+    both("DTD", ["banded_1.jpg", "dotted_2.jpg"])  # plain branch
+    # DTD class_folder branch scans root/train/<cl> and root/val/<cl>
+    import os
+
+    for cl in ("banded", "dotted"):
+        os.makedirs(f"{root}/train/{cl}", exist_ok=True)
+        os.makedirs(f"{root}/val/{cl}", exist_ok=True)
+    for sub, f in [("train", "banded_0001.jpg"), ("val", "banded_0002.jpg"),
+                   ("train", "dotted_0003.jpg")]:
+        open(f"{root}/{sub}/{f.split('_')[0]}/{f}", "w").close()
+    both(
+        "DTD",
+        ["banded_0001.jpg", "banded_0002.jpg", "dotted_0003.jpg",
+         "banded_missing.jpg"],
+        class_folder=True,
+    )
+    both("CUB", ["001.Black_footed_Albatross/img1.jpg", "002.Laysan/img2.jpg"])
+    both("RESICS45", ["airplane_001.jpg", "baseball_diamond_002.jpg"])
+    orig = [f"{root}/cls_x/0001.jpg", f"{root}/cls_y/0002.jpg",
+            f"{root}/cls_y/0003.jpg"]
+    for name in ("FGVCAircraft", "MNIST", "Flowers102"):
+        both(name, ["img1.jpg", "img2.jpg"])  # plain branch
+        both(name, ["0003.jpg", "0001.jpg"], class_folder=True,
+             original_filepaths=orig)  # lookup keeps ORIGINAL order
+
+
+def test_dataset_getitem_matches_reference_exec(ref_dataset, tmp_path):
+    """__getitem__ surface A/B on a real image: (img, aug_1, aug_2, label,
+    basename) element-identical between the reference's CustomDataset and
+    ours, for mapped labels, int label_id, and unlabeled access."""
+    import PIL.Image
+
+    from menghini_neurips23_tpu.data.datasets import FileListDataset
+
+    root = tmp_path / "root"
+    (root / "train").mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, size=(6, 6, 3)).astype(np.uint8)
+    PIL.Image.fromarray(arr).save(root / "train" / "a.png")
+
+    tfm = lambda im: np.asarray(im, dtype=np.float32) / 255.0
+    aug = lambda im: np.asarray(im, dtype=np.float32) * 0.5
+    for kw in (
+        dict(labels=["cat"], label_map={"cat": 7}),
+        dict(labels=[3], label_id=True),
+        dict(labels=["cat"], label_map={"cat": 7}, augmentations=(aug, aug)),
+        {},
+    ):
+        theirs = ref_dataset.CustomDataset(["a.png"], str(root), tfm, **kw)[0]
+        mine = FileListDataset(["a.png"], str(root), tfm, **kw)[0]
+        assert len(mine) == len(theirs), kw
+        for o, t in zip(mine, theirs):
+            if isinstance(t, np.ndarray):
+                np.testing.assert_array_equal(o, t)
+            else:
+                assert o == t, kw
