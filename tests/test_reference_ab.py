@@ -856,3 +856,99 @@ def test_dataset_getitem_matches_reference_exec(ref_dataset, tmp_path):
                 np.testing.assert_array_equal(o, t)
             else:
                 assert o == t, kw
+
+
+def _build_framed_fixture(dataset: str, root: Path):
+    """Minimal on-disk layout each reference prepare_data branch can parse."""
+    import json
+
+    root.mkdir(parents=True)
+    if dataset == "EuroSAT":
+        from menghini_neurips23_tpu.data.prepare import EUROSAT_DIRS
+
+        classes = list(EUROSAT_DIRS)  # the 10 descriptive names
+        (root / "class_names.txt").write_text("\n".join(classes) + "\n")
+        for j, c in enumerate(classes):
+            d = root / EUROSAT_DIRS[c]
+            d.mkdir()
+            for i in range(2 + j % 3):
+                (d / f"{EUROSAT_DIRS[c]}_{i}.jpg").write_text("x")
+        lines = [
+            f"zip@{EUROSAT_DIRS[c]}/{EUROSAT_DIRS[c]}_{i}.jpg {j}"
+            for j, c in enumerate(classes)
+            for i in range(2)
+        ]
+        (root / "test.txt").write_text("\n".join(lines) + "\n")
+    elif dataset in ("DTD", "Flowers102"):
+        classes = [f"cl{j}" for j in range(8)]
+        (root / "class_names.txt").write_text("\n".join(classes) + "\n")
+        for split in ("train", "val", "test"):
+            lines = [
+                f"zip@{c}/{c}_{split}_{i}.jpg {j}"
+                for j, c in enumerate(classes)
+                for i in range(2 + (j + len(split)) % 2)
+            ]
+            (root / f"{split}.txt").write_text("\n".join(lines) + "\n")
+    elif dataset == "RESICS45":
+        classes = [f"site_type_{j}" for j in range(7)]
+        cats = [{"name": c} for c in classes]
+        for split in ("train", "val", "test"):
+            images = [
+                {"file_name": f"zip@{c}/{c}_{split}_{i:02d}.jpg"}
+                for j, c in enumerate(classes)
+                for i in range(2 + (j + len(split)) % 2)
+            ]
+            (root / f"{split}.json").write_text(
+                json.dumps({"categories": cats, "images": images})
+            )
+    elif dataset == "FGVCAircraft":
+        # class names contain SPACES: exercises the all-but-last-token parse
+        classes = [f"boeing {700 + j}" for j in range(6)]
+        (root / "labels.txt").write_text("\n".join(classes) + "\n")
+        for split in ("train", "val", "test"):
+            lines = [
+                f"zip@{c}/im_{split}_{i}.jpg tail"
+                for c in classes
+                for i in range(2)
+            ]
+            (root / f"{split}.txt").write_text("\n".join(lines) + "\n")
+    elif dataset == "CUB":
+        dirs = [f"{j:03d}.Bird_Name_{j}" for j in range(1, 9)]
+        (root / "trainvalclasses.txt").write_text("\n".join(dirs[:5]) + "\n")
+        (root / "testclasses.txt").write_text("\n".join(dirs[5:]) + "\n")
+        for split in ("train", "test"):
+            lines = [f"{d}/img_{split}_{i}.jpg" for d in dirs for i in range(2)]
+            (root / f"{split}.txt").write_text("\n".join(lines) + "\n")
+    else:
+        raise AssertionError(dataset)
+
+
+@pytest.mark.parametrize(
+    "dataset", ["EuroSAT", "DTD", "RESICS45", "FGVCAircraft", "Flowers102", "CUB"]
+)
+def test_framed_layouts_match_reference_exec(tmp_path, ref_prepare, dataset):
+    """get_class_names + get_labeled_and_unlabeled_data exec-A/B for every
+    FRAMED dataset layout branch (the MNIST branch is A/B'd above): identical
+    class splits across seeds and identical (labeled, unlabeled, test) tuples
+    on synthetic fixtures each reference parser really reads."""
+    from menghini_neurips23_tpu.data.prepare import (
+        get_class_names,
+        get_labeled_and_unlabeled_data,
+    )
+
+    root = tmp_path / dataset
+    _build_framed_fixture(dataset, root)
+    for seed in (500, 0, 42):
+        ours = get_class_names(dataset, str(tmp_path), seed)
+        theirs = ref_prepare.get_class_names(dataset, str(tmp_path), seed)
+        for o, t in zip(ours, theirs):
+            assert list(o) == list(t), (dataset, seed)
+    classes, seen, unseen = theirs
+    our_data = get_labeled_and_unlabeled_data(
+        dataset, str(root), seen, unseen, classes
+    )
+    ref_data = ref_prepare.get_labeled_and_unlabeled_data(
+        dataset, str(root), seen, unseen, classes
+    )
+    for o, t in zip(our_data, ref_data):
+        assert list(o) == list(t), dataset
