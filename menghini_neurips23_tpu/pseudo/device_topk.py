@@ -36,12 +36,18 @@ log = logging.getLogger(__name__)
 _NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _segmented_topk_scores(probs: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, C) probs -> per-class (C, k) winner indices + validity mask."""
-    pred = probs.argmax(axis=1)  # (N,)
-    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
-    n, c = probs.shape
+@functools.partial(jax.jit, static_argnames=("c", "k"))
+def _segmented_topk_scores(
+    conf: jnp.ndarray, pred: jnp.ndarray, c: int, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample (conf, argmax-class) -> per-class (C, k) winner indices +
+    validity mask.  `pred` is computed on the HOST at the input's full
+    precision: recomputing argmax on device after jnp.asarray's float64 ->
+    float32 downcast can flip near-tie rows to a different class than the
+    overflow gate counted, which would break the byte-identical guarantee.
+    In the no-overflow regime only the assignment matters (every assigned
+    sample is selected), so conf precision is irrelevant here."""
+    n = conf.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
     scores = jnp.where(cols == pred[:, None], conf[:, None], _NEG)  # (N, C)
     vals, idx = jax.lax.top_k(scores.T, k)  # (C, k) each
@@ -63,7 +69,8 @@ def device_topk(
         # LABEL_ALL output is pool-ordered (engine.py:50-52), not
         # class-grouped; it is a plain argmax anyway - no kernel needed
         return leaderboard_top_k(probs, filepaths, k, class_ids)
-    argmax = np.asarray(probs).argmax(axis=1)
+    probs_np = np.asarray(probs)
+    argmax = probs_np.argmax(axis=1)
     counts = np.bincount(argmax, minlength=c)
     if counts.max() > k_eff:
         # a board overflows: only the sequential cascade is exact here
@@ -72,7 +79,10 @@ def device_topk(
             "exact host leaderboard", int(counts.max()), k_eff,
         )
         return leaderboard_top_k(probs, filepaths, k, class_ids)
-    idx, valid = _segmented_topk_scores(jnp.asarray(probs), k_eff)
+    conf = probs_np[np.arange(n), argmax]
+    idx, valid = _segmented_topk_scores(
+        jnp.asarray(conf, jnp.float32), jnp.asarray(argmax, jnp.int32), c, k_eff
+    )
     idx = np.asarray(idx)
     valid = np.asarray(valid)
     new_imgs: List[str] = []

@@ -130,6 +130,30 @@ def test_device_topk_is_exact_when_no_overflow():
     assert exact == dev
 
 
+def test_device_topk_is_exact_for_float64_near_ties():
+    """float64 probs whose argmax FLIPS under a float32 downcast: two values
+    that are distinct in float64 but round to the same float32.  The kernel
+    must use the host's full-precision argmax (not recompute it on device
+    after jnp.asarray's cast), or these rows land on a different class than
+    the exact leaderboard assigns."""
+    from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+
+    lo, hi = 0.2999999999999999, 0.3
+    assert lo != hi and np.float32(lo) == np.float32(hi)  # the flip condition
+    rng = np.random.default_rng(1)
+    probs = rng.uniform(0.0, 0.2, size=(12, 3)).astype(np.float64)
+    # rows where class 1 wins by less than a float32 ulp over class 0:
+    # full-precision argmax = 1; after a float32 cast the two tie and
+    # jnp.argmax would pick class 0 (first max)
+    for i in (2, 5, 9):
+        probs[i, 0], probs[i, 1] = lo, hi
+    paths = [f"img_{i:03d}" for i in range(12)]
+    class_ids = [0, 1, 2]
+    exact = leaderboard_top_k(probs, paths, 6, class_ids)
+    dev = device_topk(probs, paths, 6, class_ids)
+    assert exact == dev
+
+
 def test_device_topk_is_exact_under_overflow():
     """On board overflow the parallel kernel cannot reproduce the sequential
     cascade, so device_topk must fall back to the exact leaderboard - the
