@@ -19,6 +19,13 @@ guaranteed to return BYTE-IDENTICAL output to the exact host leaderboard:
   output is pool-ordered rather than class-grouped, it falls back to the
   exact host leaderboard.  No config knob can silently change pseudolabel
   sets versus reference utils/clip_pseudolabels.py semantics.
+
+The kernel only engages above _KERNEL_MIN_CELLS pool cells: in the
+no-overflow regime leaderboard_top_k already takes a vectorized numpy path
+(engine.py) that costs milliseconds at GRIP pool sizes, while the kernel
+pays a dispatch roundtrip plus one compile per new (C, k) pair (GRIP grows
+k every iteration) - at reference-scale pools the host path always wins, so
+small pools delegate to it.  Output is byte-identical either way.
 """
 
 from __future__ import annotations
@@ -34,6 +41,12 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 _NEG = -1e30
+
+# below this many pool cells (n*c) the host's vectorized no-overflow path is
+# faster than one kernel dispatch + possible compile; every FRAMED dataset's
+# GRIP pool (~16k x <=102 classes) sits under it, so the knob never pays a
+# tunnel recompile in a reference-shaped run
+_KERNEL_MIN_CELLS = 5_000_000
 
 
 @functools.partial(jax.jit, static_argnames=("c", "k"))
@@ -65,9 +78,10 @@ def device_topk(
 
     n, c = probs.shape
     k_eff = min(k, n)
-    if k == LABEL_ALL or k_eff <= 0:
+    if k == LABEL_ALL or k_eff <= 0 or n * c < _KERNEL_MIN_CELLS:
         # LABEL_ALL output is pool-ordered (engine.py:50-52), not
-        # class-grouped; it is a plain argmax anyway - no kernel needed
+        # class-grouped (a plain argmax anyway); small pools are faster on
+        # the host's vectorized path than one kernel dispatch+compile
         return leaderboard_top_k(probs, filepaths, k, class_ids)
     probs_np = np.asarray(probs)
     argmax = probs_np.argmax(axis=1)
@@ -80,6 +94,12 @@ def device_topk(
         )
         return leaderboard_top_k(probs, filepaths, k, class_ids)
     conf = probs_np[np.arange(n), argmax]
+    if np.isnan(conf).any():
+        # a NaN confidence scores NaN in the kernel and fails the validity
+        # compare, silently dropping a sample the exact path keeps - only
+        # the host path is byte-identical here
+        log.info("device_topk: NaN confidences; using the exact host leaderboard")
+        return leaderboard_top_k(probs, filepaths, k, class_ids)
     idx, valid = _segmented_topk_scores(
         jnp.asarray(conf, jnp.float32), jnp.asarray(argmax, jnp.int32), c, k_eff
     )

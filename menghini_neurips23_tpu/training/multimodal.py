@@ -98,17 +98,12 @@ class MultimodalStrategy(TrainingStrategy):
         # T=16 under-fills the (8,128) tile's lane dim, the attention matmul
         # layouts flip minor dims, and the compiler adds +25% copies
         # (benchmarks/upt_cliff_fingerprint.json, fingerprint_upt_cliff.py).
-        key = tuple(class_list)
-        cache = getattr(self, "_ctx_ids_cache", None)
-        if cache is None:
-            cache = self._ctx_ids_cache = {}
-        if key not in cache:
-            ids = build_prompt_token_ids(
+        return self._memoized_token_ids(
+            class_list,
+            lambda: build_prompt_token_ids(
                 self.runtime.tokenizer, class_list, self.config.TEXT_PREFIX_SIZE
-            )
-            ids.setflags(write=False)  # a caller write would corrupt later hits
-            cache[key] = ids
-        return cache[key]
+            ),
+        )
 
     # ----------------------------------------------------------- inference
     @functools.cached_property

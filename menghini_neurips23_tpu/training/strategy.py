@@ -183,9 +183,19 @@ class TrainingStrategy:
                 "always threads one self.transform through all of them)"
             )
 
-    def _features_for_paths(self, paths: Sequence[str], cache: bool = True) -> np.ndarray:
+    def _features_for_paths(
+        self, paths: Sequence[str], cache: bool = True, stack_memo: bool = True
+    ) -> np.ndarray:
         """Cached frozen representation per image, through the byte-capped
         LRU.  Large inference pools pass cache=False and stream through.
+
+        stack_memo=False keeps the per-path LRU fill but skips the
+        stacked-result memo: the streaming train loop fetches a FRESH random
+        batch composition every step (a new permutation each epoch), so its
+        keys never repeat - memoizing them would churn the FIFO with dead
+        entries, evict the genuinely reusable stacks (train/val sets
+        re-requested every train() call), and hold up to HOST_CACHE_BYTES of
+        unreachable stacks on top of the per-path LRU.
 
         With an ACTIVE user transform the LRU is bypassed entirely: the
         reference applies self.transform fresh on every dataset access
@@ -197,7 +207,8 @@ class TrainingStrategy:
             return np.empty((0,))
         if self._active_transform is not None:
             return self._encode_paths(list(paths))
-        if cache:
+        memoize = cache and stack_memo
+        if memoize:
             # stacked-result memo: features per path are deterministic for
             # the strategy's lifetime (the same invariant _memo_put's
             # path-keyed device placement relies on), so re-stacking the
@@ -213,7 +224,7 @@ class TrainingStrategy:
                 return hit
         have = self._feat_cache.get_or_fill(paths, self._encode_paths, store=cache)
         out = np.stack([have[p] for p in paths])
-        if cache:
+        if memoize:
             # byte-capped FIFO (a single L/14 VPT stack is ~1 GB; entry
             # counts alone would not bound host RAM); read-only so a caller
             # mutating a memoized stack faults instead of corrupting later hits
@@ -227,6 +238,21 @@ class TrainingStrategy:
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
         """Token ids / text features needed by the step for `class_list`."""
         raise NotImplementedError
+
+    def _memoized_token_ids(self, class_list: Sequence[str], build) -> np.ndarray:
+        """Memoize `build()` per class list: tokenization depends only on the
+        list (+ fixed config), and every train()/eval call re-requests the
+        same lists.  Results are read-only so a caller write faults instead
+        of corrupting later hits."""
+        key = tuple(class_list)
+        cache = getattr(self, "_ctx_ids_cache", None)
+        if cache is None:
+            cache = self._ctx_ids_cache = {}
+        if key not in cache:
+            ids = build()
+            ids.setflags(write=False)
+            cache[key] = ids
+        return cache[key]
 
     def _logits_fn(self):
         """Modality hook: returns a pure fn
@@ -573,7 +599,11 @@ class TrainingStrategy:
             pad = bs - count
             sel = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
             if epoch.features is None:  # streaming: fetch through the cache
-                feats = self._features_for_paths([epoch.paths[i] for i in sel])
+                # stack_memo=False: this batch composition is a fresh random
+                # permutation draw - its key never repeats (see the memo doc)
+                feats = self._features_for_paths(
+                    [epoch.paths[i] for i in sel], stack_memo=False
+                )
             else:
                 feats = epoch.features[sel]
             labels = (

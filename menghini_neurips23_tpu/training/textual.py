@@ -68,21 +68,13 @@ class TextualStrategy(TrainingStrategy):
         return self.runtime.arch.embed_dim * 4
 
     def _train_text_class_ids(self, class_list: Sequence[str]) -> np.ndarray:
-        # memoized: tokenization depends only on the class list (+ fixed
-        # config), and every train()/eval call re-requests the same lists
-        key = tuple(class_list)
-        cache = getattr(self, "_ctx_ids_cache", None)
-        if cache is None:
-            cache = self._ctx_ids_cache = {}
-        if key not in cache:
+        def build():
             ids = build_prompt_token_ids(
                 self.runtime.tokenizer, class_list, self.config.PREFIX_SIZE
             )
-            if self.config.TEXT_TRUNCATE:
-                ids = truncate_context(ids)
-            ids.setflags(write=False)  # a caller write would corrupt later hits
-            cache[key] = ids
-        return cache[key]
+            return truncate_context(ids) if self.config.TEXT_TRUNCATE else ids
+
+        return self._memoized_token_ids(class_list, build)
 
     # ----------------------------------------------------------- inference
     @functools.cached_property

@@ -114,12 +114,21 @@ def test_cache_roundtrip(tmp_path):
     assert (list(ds2.filepaths), list(ds2.labels)) == first
 
 
-def test_device_topk_is_exact_when_no_overflow():
+def _force_kernel(monkeypatch):
+    """Zero the size gate so small test pools exercise the device KERNEL
+    (production delegates pools under _KERNEL_MIN_CELLS to the host path)."""
+    from menghini_neurips23_tpu.pseudo import device_topk as mod
+
+    monkeypatch.setattr(mod, "_KERNEL_MIN_CELLS", 0)
+
+
+def test_device_topk_is_exact_when_no_overflow(monkeypatch):
     """With k >= per-class assignment counts, the cascade never fires; the
     device kernel path must be BYTE-IDENTICAL to the exact leaderboard,
     including arrival order within each class."""
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
+    _force_kernel(monkeypatch)
     rng = np.random.default_rng(0)
     logits = rng.normal(size=(40, 4)).astype(np.float32)
     probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
@@ -130,7 +139,7 @@ def test_device_topk_is_exact_when_no_overflow():
     assert exact == dev
 
 
-def test_device_topk_is_exact_for_float64_near_ties():
+def test_device_topk_is_exact_for_float64_near_ties(monkeypatch):
     """float64 probs whose argmax FLIPS under a float32 downcast: two values
     that are distinct in float64 but round to the same float32.  The kernel
     must use the host's full-precision argmax (not recompute it on device
@@ -138,6 +147,7 @@ def test_device_topk_is_exact_for_float64_near_ties():
     the exact leaderboard assigns."""
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
+    _force_kernel(monkeypatch)
     lo, hi = 0.2999999999999999, 0.3
     assert lo != hi and np.float32(lo) == np.float32(hi)  # the flip condition
     rng = np.random.default_rng(1)
@@ -152,6 +162,45 @@ def test_device_topk_is_exact_for_float64_near_ties():
     exact = leaderboard_top_k(probs, paths, 6, class_ids)
     dev = device_topk(probs, paths, 6, class_ids)
     assert exact == dev
+
+
+def test_device_topk_delegates_small_pools_to_host(monkeypatch):
+    """Pools under _KERNEL_MIN_CELLS (every reference-shaped GRIP pool) must
+    take the host's vectorized path without touching the kernel: the kernel
+    pays a dispatch plus one compile per new (C, k) pair, which the host
+    path beats by orders of magnitude at these sizes."""
+    from menghini_neurips23_tpu.pseudo import device_topk as mod
+
+    def boom(*a, **kw):
+        raise AssertionError("kernel must not run for a small pool")
+
+    monkeypatch.setattr(mod, "_segmented_topk_scores", boom)
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(60, 5)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    paths = [f"img_{i:03d}" for i in range(60)]
+    class_ids = [0, 1, 2, 3, 4]
+    exact = leaderboard_top_k(probs, paths, 70, class_ids)
+    dev = mod.device_topk(probs, paths, 70, class_ids)
+    assert exact == dev
+
+
+def test_device_topk_is_exact_for_nan_confidences(monkeypatch):
+    """A NaN confidence would score NaN in the kernel and fail the validity
+    compare, silently dropping a sample the exact path keeps - device_topk
+    must fall back to the host leaderboard instead."""
+    from menghini_neurips23_tpu.pseudo.device_topk import device_topk
+
+    _force_kernel(monkeypatch)
+    rng = np.random.default_rng(4)
+    probs = rng.uniform(0.1, 0.9, size=(10, 3)).astype(np.float64)
+    probs[4] = np.nan  # whole row NaN: argmax lands somewhere, conf is NaN
+    paths = [f"img_{i:03d}" for i in range(10)]
+    class_ids = [0, 1, 2]
+    exact = leaderboard_top_k(probs, paths, 8, class_ids)
+    dev = device_topk(probs, paths, 8, class_ids)
+    assert exact == dev
+    assert any(p == "img_004" for p in dev[0])  # the NaN row is NOT dropped
 
 
 def test_device_topk_is_exact_under_overflow():
@@ -198,7 +247,7 @@ def test_fast_path_matches_sequential_when_no_overflow():
     assert fast == tuple(seq) or list(fast) == list(seq)
 
 
-def test_exactly_full_boards_stay_arrival_ordered():
+def test_exactly_full_boards_stay_arrival_ordered(monkeypatch):
     """counts.max() == k is the boundary of the no-overflow gate: boards fill
     to exactly k but never overflow, so the reference's sequential algorithm
     leaves them UNSORTED (arrival order) - the first overflow is what sorts a
@@ -206,6 +255,7 @@ def test_exactly_full_boards_stay_arrival_ordered():
     kernel path must agree with the sequential spec here, byte for byte."""
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
+    _force_kernel(monkeypatch)
     k, c = 4, 3
     rng = np.random.default_rng(11)
     # construct probs where EVERY class receives exactly k argmax assignments,
@@ -331,7 +381,7 @@ def test_grip_schedule_clamps_degenerate_pools():
     assert shots(S(), 10, 1638, 10, 64) == 6
 
 
-def test_fuzz_all_topk_paths_agree():
+def test_fuzz_all_topk_paths_agree(monkeypatch):
     """Randomized cross-check of every top-K implementation against the
     sequential spec oracle on 40 shapes spanning the boundary regimes
     (under-full, exactly-full, and overflowing boards; k > n; skewed class
@@ -343,6 +393,7 @@ def test_fuzz_all_topk_paths_agree():
     from menghini_neurips23_tpu.data._native import get_leaderboard
     from menghini_neurips23_tpu.pseudo.device_topk import device_topk
 
+    _force_kernel(monkeypatch)
     native = get_leaderboard()
     rng = np.random.default_rng(123)
     k_pool = [1, 2, 3, 5, 8, 16, 50]  # bounded set: device path jits per k

@@ -70,6 +70,13 @@ def test_streaming_host_loop_equals_materialized(tmp_path, mnist_fixture, tiny_r
         if mode == "streaming":
             # the epoch data was never materialized
             assert strat._prepare_epoch_data(train, classes, True).features is None
+            # the per-batch fetches (fresh random composition each step) must
+            # NOT land in the stacked-result memo: their keys never repeat,
+            # so memoizing them only churns out the reusable entries (the
+            # val stack) and holds dead stacks alongside the per-path LRU
+            memo = getattr(strat, "_stack_memo", {})
+            n_batches = 2 * -(-len(train.filepaths) // cfg.BATCH_SIZE)  # 2 epochs
+            assert len(memo) <= 2, (len(memo), n_batches)
     assert results["streaming"][0] == pytest.approx(results["materialized"][0], abs=1e-6)
     np.testing.assert_allclose(
         results["streaming"][1], results["materialized"][1], rtol=1e-6, atol=1e-8
