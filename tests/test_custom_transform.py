@@ -224,8 +224,8 @@ def test_training_streams_under_active_transform(tr_data, tiny_runtime):
     seen_feats = []
     orig = strat._features_for_paths
 
-    def spy(paths, cache=True):
-        out = orig(paths, cache=cache)
+    def spy(paths, cache=True, **kw):
+        out = orig(paths, cache=cache, **kw)
         seen_feats.append(np.asarray(out))
         return out
 
